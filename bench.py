@@ -1,0 +1,117 @@
+"""Benchmark: MCA pretraining throughput on the canonical TCGA config.
+
+Runs the full jit-compiled training step (forward + contrastive loss
+graph + backward + AdamW update) at the reference's canonical
+TCGA_config1 scale — dim 512, 5 layers, 8 heads, 88 fusion tokens,
+packed sequence 2548, batch 8 — on synthetic TCGA-shaped data, on
+whatever accelerator `jax.devices()` provides (the real TPU chip under
+the driver).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": tokens/sec/chip, "unit": ...,
+   "vs_baseline": value / measured PyTorch-reference throughput}
+
+The baseline denominator comes from BASELINE_MEASURED.json (produced
+by baselines/measure_torch_baseline.py — the reference repo publishes
+no numbers, see BASELINE.md).  Extra context fields ride along; the
+driver reads the four required keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mca_tpu.config import get_model_config, training_config_from_dict
+    from mca_tpu.data.collators import MultimodalCollator
+    from mca_tpu.data.synthetic import make_tcga_like
+    from mca_tpu.models import build_model
+    from mca_tpu.train import (
+        hf_lr_schedule,
+        init_state,
+        make_optimizer,
+        make_train_step,
+    )
+    import __graft_entry__ as ge
+
+    cfg = training_config_from_dict(ge._tcga_config())
+    model = build_model(get_model_config(cfg))
+    widths = {m: c["pad_len"] for m, c in cfg.modality_config.items()}
+    samples = make_tcga_like(
+        cfg.batch_size, widths=widths, p_missing=0.25, seed=0
+    )
+    batch = MultimodalCollator(cfg.modality_config.to_plain())(samples)
+    batch = jax.tree.map(jnp.asarray, batch)
+
+    tx = make_optimizer(cfg, num_training_steps=1000)
+    schedule = hf_lr_schedule(
+        cfg.lr_scheduler_type, cfg.lr, cfg.num_warmup_steps, 1000
+    )
+    state = init_state(model, tx, batch, seed=0)
+    train_step = make_train_step(model, tx, schedule)
+
+    # compile + warmup
+    state, metrics = train_step(state, batch)
+    jax.block_until_ready(metrics["total_loss"])
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = train_step(state, batch)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = (time.perf_counter() - t0) / n_steps
+
+    seq_len = sum(widths.values()) + cfg.num_fusion_tokens
+    tokens_per_step = cfg.batch_size * seq_len
+    tokens_per_sec = tokens_per_step / dt
+
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BASELINE_MEASURED.json",
+    )
+    vs_baseline = None
+    baseline_note = "no measured baseline available"
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        if base.get("tokens_per_sec"):
+            vs_baseline = tokens_per_sec / base["tokens_per_sec"]
+            baseline_note = (
+                f"PyTorch reference measured at "
+                f"{base['tokens_per_sec']:.0f} tok/s on "
+                f"{base.get('hardware', 'unknown')}"
+            )
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "TCGA_config1 MCA pretrain throughput "
+                    "(fwd+loss+bwd+AdamW, batch 8, seq 2548)"
+                ),
+                "value": round(tokens_per_sec, 1),
+                "unit": "tokens/sec/chip",
+                "vs_baseline": (
+                    round(vs_baseline, 2)
+                    if vs_baseline is not None
+                    else None
+                ),
+                "step_time_ms": round(dt * 1000, 2),
+                "device": str(jax.devices()[0]),
+                "precision": cfg.precision,
+                "attention_impl": cfg.attention_impl,
+                "loss_value": float(metrics["total_loss"]),
+                "baseline_note": baseline_note,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

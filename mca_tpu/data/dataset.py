@@ -1,0 +1,159 @@
+"""Dataset setup: HF-datasets loading, split, seeded modality dropout.
+
+Mirrors ``/root/reference/utils/dataset.py``:
+
+- :func:`setup_data` (ref :72-84): ``load_from_disk`` → optional
+  ``ds_frac`` head-select → optional predrop → ``train_test_split``.
+- :class:`BatchPreDropout` (ref :29-57): per-sample whole-modality
+  dropout applied once, offline, via ``dataset.map``; ``delete`` mode
+  sets every field of the modality to None (collates to fully padded),
+  ``fill`` mode overwrites fields with constants.
+- :func:`batch_predrop` (ref :59-69): one dropper per modality from
+  ``modality_config[*]['dropout']``.
+
+Differences by design: the RNG is an explicitly seeded numpy Generator
+(the reference used torch's global RNG, making the drop pattern depend
+on iteration order), and formats are numpy, not torch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+class BatchPreDropout:
+    """Whole-modality dropout for one modality (ref utils/dataset.py:29-57)."""
+
+    def __init__(
+        self,
+        mode: str = "delete",
+        kvs: Optional[Dict[str, Any]] = None,
+        dropout: float = 0.1,
+        random_seed: int = 42,
+    ):
+        assert mode in ("delete", "fill"), mode
+        self.mode = mode
+        self.kvs = kvs or {"attention_mask": 1, "tokens": 0}
+        self.dropout = float(dropout)
+        self.rng = np.random.default_rng(random_seed)
+
+    def drop(self) -> bool:
+        return bool(self.rng.random() < self.dropout)
+
+    def __call__(
+        self, modality_value: Optional[Dict[str, Any]]
+    ) -> Optional[Dict[str, Any]]:
+        if modality_value is None:
+            return None
+        if self.drop():
+            if self.mode == "fill":
+                return {
+                    k: (
+                        np.full_like(np.asarray(modality_value[k]), v)
+                        if modality_value.get(k) is not None
+                        else None
+                    )
+                    for k, v in self.kvs.items()
+                }
+            return {k: None for k in modality_value}
+        return modality_value
+
+
+def batch_predrop(
+    dataset: Any,
+    modality_config: Dict[str, Dict[str, Any]],
+    random_seed: int = 42,
+):
+    """Map whole-modality dropout over an HF dataset (ref utils/dataset.py:59-69)."""
+    droppers = {
+        name: BatchPreDropout(
+            kvs={"attention_mask": cfg.get("pad_token", 0), "data": 0.0},
+            dropout=cfg["dropout"],
+            random_seed=random_seed + i,
+        )
+        for i, (name, cfg) in enumerate(modality_config.items())
+        if cfg.get("dropout")
+    }
+
+    def drop(sample: Dict[str, Any]) -> Dict[str, Any]:
+        return {
+            k: droppers[k](v) if k in droppers else v
+            for k, v in sample.items()
+        }
+
+    return dataset.map(drop, batched=False)
+
+
+def setup_data(
+    dataset_path: str,
+    split: float = 0.1,
+    ds_frac: float = 1.0,
+    ds_seed: int = 42,
+    predrop: bool = False,
+    predrop_config: Optional[Dict[str, Dict[str, Any]]] = None,
+):
+    """Load + split an HF on-disk dataset (ref utils/dataset.py:72-84)."""
+    import datasets as hfds
+
+    dataset = hfds.load_from_disk(dataset_path)
+    if ds_frac < 1.0:
+        dataset = dataset.select(range(int(len(dataset) * ds_frac)))
+    if predrop:
+        dataset = batch_predrop(
+            dataset, predrop_config or {}, random_seed=ds_seed
+        )
+    if split and split != 1.0:
+        dataset = dataset.train_test_split(split, seed=ds_seed)
+    return dataset
+
+
+class BatchedLoader:
+    """Minimal static-shape batch iterator over an HF dataset split.
+
+    Replaces the reference's torch DataLoader: applies the
+    MultimodalCollator to fixed-size batches and (like the reference's
+    infer path, ``infer_accel_gpu.py:70-71``) always drops the last
+    partial batch so every jit trace sees the same shapes.
+    """
+
+    def __init__(
+        self,
+        dataset: Any,
+        collator: Any,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.collator = collator
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(
+            -n // self.batch_size
+        )
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        usable = (
+            n - n % self.batch_size if self.drop_last else n
+        )
+        for start in range(0, usable, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            samples = [self.dataset[int(i)] for i in idx]
+            yield self.collator(samples)

@@ -1,0 +1,222 @@
+"""Batch embedding inference: ``python -m mca_tpu.infer <config.yaml>``.
+
+TPU rebuild of ``/root/reference/infer_accel_gpu.py``: loads a
+checkpoint (``config.restart`` required, ref :90-92), iterates the
+train and test splits with ``shuffle=False, drop_last=True``
+(ref :70-71), runs the model, and saves per-split embeddings, modality
+presence masks and labels.
+
+Output format matches the reference bit-for-bit when torch is
+available: ``{train,eval}_{embeddings,masks,labels}.pt`` via
+``torch.save`` with the same key scheme — modality names (str),
+modality combos as ``frozenset`` of modality indices, and ``'fusion'``
+(ref :110-136) — so embeddings produced here feed the reference's
+probe script and vice versa.  Falls back to ``.npz`` without torch.
+
+Unlike the reference there is no single-process assert (ref :95-96):
+inference jits over whatever mesh is configured.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from collections import defaultdict
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+from mca_tpu import checkpoint as ckpt
+from mca_tpu.config import Config, get_model_config, training_config
+from mca_tpu.data.collators import MultimodalCollator
+from mca_tpu.data.dataset import BatchedLoader, setup_data
+from mca_tpu.models import build_model
+from mca_tpu.parallel.mesh import make_mesh, shard_batch
+
+logger = logging.getLogger(__name__)
+
+
+def combo_str_to_frozenset(key: str):
+    return frozenset(int(i) for i in key.split(":", 1)[1].split(","))
+
+
+def _save(obj: Dict[Any, np.ndarray], path_stem: str) -> str:
+    """torch.save for reference interop; .npz fallback."""
+    try:
+        import torch
+
+        path = path_stem + ".pt"
+        torch.save(
+            {
+                k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in obj.items()
+            },
+            path,
+        )
+        return path
+    except ImportError:
+        path = path_stem + ".npz"
+        np.savez(
+            path, **{str(k): v for k, v in obj.items()}
+        )
+        return path
+
+
+def _save_array(arr: np.ndarray, path_stem: str) -> str:
+    """Bare-tensor save (the reference stores labels as a raw tensor,
+    infer_accel_gpu.py:135-136)."""
+    try:
+        import torch
+
+        path = path_stem + ".pt"
+        torch.save(torch.from_numpy(np.ascontiguousarray(arr)), path)
+        return path
+    except ImportError:
+        path = path_stem + ".npz"
+        np.savez(path, labels=arr)
+        return path
+
+
+def load_label_file(path_stem: str) -> np.ndarray:
+    import os
+
+    if os.path.exists(path_stem + ".pt"):
+        import torch
+
+        return torch.load(
+            path_stem + ".pt", map_location="cpu", weights_only=False
+        ).numpy()
+    return np.load(path_stem + ".npz", allow_pickle=True)["labels"]
+
+
+def load_embedding_file(path_stem: str) -> Dict[Any, np.ndarray]:
+    """Load embeddings saved by :func:`infer` OR by the reference."""
+    import os
+
+    if os.path.exists(path_stem + ".pt"):
+        import torch
+
+        data = torch.load(
+            path_stem + ".pt", map_location="cpu", weights_only=False
+        )
+        return {k: v.numpy() for k, v in data.items()}
+    data = np.load(path_stem + ".npz", allow_pickle=True)
+    return {k: data[k] for k in data.files}
+
+
+def infer(config: Config) -> str:
+    assert config.restart, "inference needs config.restart -> checkpoint"
+    mesh = make_mesh(config.mesh_data, config.mesh_model)
+    model_config = get_model_config(config)
+    model = build_model(model_config)
+    mc = (
+        config.modality_config.to_plain()
+        if hasattr(config.modality_config, "to_plain")
+        else config.modality_config
+    )
+    datasets = setup_data(
+        config.dataset,
+        split=config.split,
+        ds_frac=config.ds_frac,
+        ds_seed=config.ds_seed,
+        predrop=config.predrop,
+        predrop_config=mc,
+    )
+    collator = MultimodalCollator(mc, labels=config.label_col)
+
+    loaders = {
+        "train": BatchedLoader(
+            datasets["train"], collator, config.batch_size
+        ),
+        "eval": BatchedLoader(
+            datasets["test"], collator, config.batch_size
+        ),
+    }
+
+    # init to get structure, then restore the checkpointed params
+    first = next(iter(loaders["train"]))
+    label_batch = first.pop(config.label_col)
+    params = jax.jit(model.init)(
+        jax.random.key(0), shard_batch(first, mesh)
+    )
+    params = _restore_params(config.restart, params)
+
+    @jax.jit
+    def forward(params, batch):
+        return model.apply(params, batch)
+
+    # the reference reads batch['Labels']['data'] (infer_accel_gpu.py:105);
+    # TCGA-style datasets store labels under 'values'
+    label_field = next(
+        (f for f in ("data", "values") if f in label_batch),
+        next(iter(label_batch.keys())),
+    )
+    for split, dl in loaders.items():
+        embeddings = defaultdict(list)
+        masks = defaultdict(list)
+        labels = []
+        total_loss = 0.0
+        n = 0
+        for batch in dl:
+            batch_labels = batch.pop(config.label_col)
+            out = forward(params, shard_batch(batch, mesh))
+            out = jax.device_get(out)
+            total_loss += float(out.pop("loss"))
+            out.pop("losses")
+            out.pop("fcl_loss", None)
+            out.pop("no-fcl_loss", None)
+            sample_mask = out.pop("modality_sample_mask")
+            n += 1
+            for k, v in out.items():
+                key = (
+                    combo_str_to_frozenset(k)
+                    if str(k).startswith("combo:")
+                    else k
+                )
+                embeddings[key].append(np.asarray(v))
+            for k, v in sample_mask.items():
+                masks[k].append(np.asarray(v))
+            labels.append(np.asarray(batch_labels[label_field]))
+        logger.info(
+            "%s split: %d batches, mean loss %.4f",
+            split,
+            n,
+            total_loss / max(n, 1),
+        )
+        _save(
+            {k: np.concatenate(v) for k, v in masks.items()},
+            f"{config.output_dir}/{split}_masks",
+        )
+        _save(
+            {k: np.concatenate(v) for k, v in embeddings.items()},
+            f"{config.output_dir}/{split}_embeddings",
+        )
+        _save_array(
+            np.concatenate(labels),
+            f"{config.output_dir}/{split}_labels",
+        )
+    return config.output_dir
+
+
+def _restore_params(restart_dir: str, target):
+    """Accept either a train-state checkpoint dir or a final model dir."""
+    import os
+
+    if os.path.isdir(os.path.join(restart_dir, "state")):
+        restored = ckpt.load_state(restart_dir)
+        return jax.tree.map(
+            lambda t, r: np.asarray(r), target, restored["params"]
+        )
+    return ckpt.load_params(restart_dir, target=target)
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO)
+    argv = argv if argv is not None else sys.argv[1:]
+    config = training_config(argv[0])
+    infer(config)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Everything-At-Once baseline (ref model.py:481-596).
+
+No fusion tokens and no attention masks: the shared transformer stack
+is re-run once per unimodal channel and once per modality combo
+(4 + 11 = 15 passes for the canonical configs), each mean-pooled into a
+single vector; the pooled vectors feed the same pretraining loss.
+
+The reference's attentive-pooling branch referenced an attribute that
+is never created (``self.pool_mask``, ref model.py:565) and would crash
+— EAO is mean-pool-only here, asserted with a clear error.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax.core import FrozenDict
+
+from mca_tpu import masks as masks_lib
+from mca_tpu.encoders import build_encoder
+from mca_tpu.losses import MCAPretrainingLoss
+from mca_tpu.models.layers import LayerNorm, MCALayer
+from mca_tpu.models.mca import _dtype_of
+from mca_tpu.models.pool import MeanTokenProjectionPool
+
+Array = jax.Array
+
+
+class EAO(nn.Module):
+    encoder_configs: FrozenDict[str, Any]
+    dim: int
+    depth: int
+    dim_head: int = 64
+    heads: int = 8
+    ff_mult: float = 4
+    num_fusion_tokens: int = 0
+    bimodal_contrastive: bool = False
+    non_fusion_fcl: bool = False
+    fcl: bool = False
+    fcl_root: Tuple[int, ...] = (1, 2, 3, 4, 5)
+    fusion_combos: Tuple[int, ...] = (4, 5)
+    zorro: bool = False
+    no_fusion: bool = True
+    mean_pool: bool = True
+    precision: str = "fp32"
+    attention_impl: str = "dense"
+    loss_axis_name: Optional[str] = None
+
+    def setup(self) -> None:
+        assert self.mean_pool, (
+            "EAO supports mean pooling only (the reference's attentive "
+            "branch was non-functional, ref model.py:565)"
+        )
+        enc_cfgs = dict(self.encoder_configs)
+        self.modality_types = tuple(enc_cfgs.keys())
+        self.combos = tuple(
+            masks_lib.adjusted_powerset(
+                range(len(self.modality_types)), list(self.fusion_combos)
+            )
+        )
+        self.encoders = {
+            name: build_encoder(name, cfg, self.dim)
+            for name, cfg in enc_cfgs.items()
+        }
+        dtype = _dtype_of(self.precision)
+        self.layers = [
+            MCALayer(
+                dim=self.dim,
+                dim_head=self.dim_head,
+                heads=self.heads,
+                ff_mult=self.ff_mult,
+                dtype=dtype,
+                attn_impl="dense",  # unmasked dense passes
+                name=f"layer_{i}",
+            )
+            for i in range(self.depth)
+        ]
+        self.final_norm = LayerNorm(name="final_norm")
+        self.attn_pool = MeanTokenProjectionPool(
+            token_types=None,
+            in_dim=self.dim,
+            out_dim=self.dim,
+            projection=False,
+            name="attn_pool",
+        )
+        self.loss = MCAPretrainingLoss(
+            modality_names=self.modality_types,
+            do_fcl=self.fcl and not self.zorro,
+            fusion_combos=self.combos,
+            bimodal_contrastive=self.bimodal_contrastive,
+            no_fusion=self.no_fusion,
+            non_fusion_fcl=self.non_fusion_fcl,
+            axis_name=self.loss_axis_name,
+            name="loss",
+        )
+
+    def single_pass(self, tokens: Array, padding: Array) -> Array:
+        """depth x MCALayer + masked mean pool (ref model.py:556-569)."""
+        x = tokens.astype(_dtype_of(self.precision))
+        for layer in self.layers:
+            x = layer(x, None, padding)
+        x = self.final_norm(x.astype(jnp.float32))
+        return self.attn_pool(x, padding)  # [B, 1, D]
+
+    def __call__(
+        self,
+        batch: Dict[str, Dict[str, Array]],
+        no_loss: bool = False,
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        all_tokens, all_masks, sample_mask = [], [], {}
+        for m in self.modality_types:
+            t, a = self.encoders[m](
+                batch[m], deterministic=deterministic
+            )
+            all_tokens.append(t)
+            all_masks.append(a.astype(bool))
+            sample_mask[m] = (a == 0).sum(axis=1) != 0
+
+        channels = [
+            (i,) for i in range(len(self.modality_types))
+        ] + [tuple(sorted(c)) for c in self.combos]
+        pooled = []
+        for channel in channels:
+            tokens = jnp.concatenate(
+                [all_tokens[i] for i in channel], axis=1
+            )
+            padding = jnp.concatenate(
+                [all_masks[i] for i in channel], axis=1
+            )
+            pooled.append(self.single_pass(tokens, padding))
+        pooled = jnp.concatenate(pooled, axis=1)  # [B, n_channels, D]
+
+        outputs = self.loss(pooled, sample_mask, no_loss=no_loss)
+        outputs["modality_sample_mask"] = sample_mask
+        return outputs

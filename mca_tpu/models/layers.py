@@ -1,0 +1,179 @@
+"""Fusion-transformer primitives (ref model.py:24-122).
+
+- :class:`LayerNorm` — bias-less (learnable scale, zero offset).
+- :class:`FeedForward` — GEGLU MLP, ``inner = int(dim * mult * 2/3)``,
+  all projections bias-free, exact (erf) GELU like torch ``F.gelu``.
+- :class:`Attention` — MHA with fused KV projection and support for
+  cross-attention (used by attentive pooling) and the static/dynamic
+  mask pair; the score computation is delegated to
+  :func:`mca_tpu.ops.masked_attention`.
+- :class:`MCALayer` — pre-norm block that (faithfully to ref
+  model.py:117-122) reuses ONE LayerNorm instance for both sub-layers
+  and residuals around the *normed* activations:
+  ``x = attn(norm(x)) + norm(x); x = ff(norm(x)) + norm(x)``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mca_tpu.encoders import torch_linear_init
+from mca_tpu.ops.attention import masked_attention
+
+Array = jax.Array
+
+
+class LayerNorm(nn.Module):
+    """Bias-less layernorm (ref model.py:24-31)."""
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.LayerNorm(
+            use_bias=False, use_scale=True, dtype=jnp.float32
+        )(x)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feedforward (ref model.py:35-54)."""
+
+    dim: int
+    mult: float = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        inner = int(self.dim * self.mult * 2 / 3)
+        x = x.astype(self.dtype)
+        h = nn.Dense(
+            inner * 2,
+            use_bias=False,
+            kernel_init=torch_linear_init,
+            dtype=self.dtype,
+            name="w_in",
+        )(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = jax.nn.gelu(gate, approximate=False) * h
+        return nn.Dense(
+            self.dim,
+            use_bias=False,
+            kernel_init=torch_linear_init,
+            dtype=self.dtype,
+            name="w_out",
+        )(h)
+
+
+class Attention(nn.Module):
+    """Multi-head attention (ref model.py:57-105).
+
+    ``attn_mask`` is a static [Tq, Tk] bool (True = blocked);
+    ``key_padding_mask`` a dynamic [B, Tk] bool (True = padded).
+    ``context`` switches to cross-attention (attentive pooling,
+    ref model.py:471-473).
+    """
+
+    dim: int
+    dim_head: int = 64
+    heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+    impl: str = "dense"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        context: Optional[Array] = None,
+        attn_mask: Optional[Array] = None,
+        key_padding_mask: Optional[Array] = None,
+    ) -> Array:
+        inner = self.dim_head * self.heads
+        kv_x = x if context is None else context
+        x = x.astype(self.dtype)
+        kv_x = kv_x.astype(self.dtype)
+        q = nn.Dense(
+            inner,
+            use_bias=False,
+            kernel_init=torch_linear_init,
+            dtype=self.dtype,
+            name="to_q",
+        )(x)
+        kv = nn.Dense(
+            inner * 2,
+            use_bias=False,
+            kernel_init=torch_linear_init,
+            dtype=self.dtype,
+            name="to_kv",
+        )(kv_x)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        def split_heads(t: Array) -> Array:
+            b, n, _ = t.shape
+            return t.reshape(b, n, self.heads, self.dim_head).transpose(
+                0, 2, 1, 3
+            )
+
+        out = masked_attention(
+            split_heads(q),
+            split_heads(k),
+            split_heads(v),
+            scale=self.dim_head**-0.5,
+            attn_mask=attn_mask,
+            key_padding_mask=key_padding_mask,
+            impl=self.impl,
+        )
+        b, h, n, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+        return nn.Dense(
+            self.dim,
+            use_bias=False,
+            kernel_init=torch_linear_init,
+            dtype=self.dtype,
+            name="to_out",
+        )(out)
+
+
+class MCALayer(nn.Module):
+    """Transformer block with a shared LayerNorm (ref model.py:109-122)."""
+
+    dim: int
+    dim_head: int
+    heads: int
+    ff_mult: float
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "dense"
+
+    def setup(self) -> None:
+        self.attn = Attention(
+            dim=self.dim,
+            dim_head=self.dim_head,
+            heads=self.heads,
+            dtype=self.dtype,
+            impl=self.attn_impl,
+            name="attn",
+        )
+        self.ff = FeedForward(
+            dim=self.dim, mult=self.ff_mult, dtype=self.dtype, name="ff"
+        )
+        # ONE norm instance, applied before both sub-layers — parameter
+        # sharing faithful to the reference.
+        self.norm = LayerNorm(name="norm")
+
+    def __call__(
+        self,
+        x: Array,
+        attn_mask: Optional[Array] = None,
+        padding_mask: Optional[Array] = None,
+    ) -> Array:
+        x = self.norm(x)
+        x = (
+            self.attn(
+                x, attn_mask=attn_mask, key_padding_mask=padding_mask
+            ).astype(x.dtype)
+            + x
+        )
+        x = self.norm(x)
+        x = self.ff(x).astype(x.dtype) + x
+        return x

@@ -1,0 +1,209 @@
+"""The MCA fusion transformer (ref model.py:282-478), TPU-native.
+
+One packed forward pass: per-modality encoders -> learnable fusion
+tokens appended -> ``depth`` masked transformer blocks under the static
+zorro/MCA mask + the dynamic per-sample padding mask -> attentive (or
+mean) pooling into return tokens -> the pairwise contrastive loss.
+
+TPU-first design points (deliberate departures from the reference):
+
+- masks are pure numpy constants built once (``mca_tpu.masks``) and
+  closed over by the jit trace — no buffers, no device copies per step;
+- the batch size comes from the batch (static per trace), not from the
+  constructor (the reference baked ``batch_size`` in, ref model.py:307);
+- attention dispatches to a Pallas block-sparse flash kernel
+  (``attention_impl='pallas'``) that exploits the modality-block
+  structure; ``'dense'`` is the numeric oracle;
+- compute dtype is configurable (``precision='bf16'`` puts the matmuls
+  on the MXU in bf16 with fp32 softmax/layernorm statistics).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from flax.core import FrozenDict
+
+from mca_tpu import masks as masks_lib
+from mca_tpu.encoders import build_encoder
+from mca_tpu.losses import MCAPretrainingLoss
+from mca_tpu.models.layers import Attention, LayerNorm, MCALayer
+from mca_tpu.models.pool import MeanTokenProjectionPool
+
+Array = jax.Array
+
+
+def _dtype_of(precision: str) -> jnp.dtype:
+    return jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+
+class MCA(nn.Module):
+    """Multimodal-contrastive-alignment fusion transformer.
+
+    ``zorro=True`` gives the MMA/Zorro variant (no fusion channels);
+    ``no_fusion=True`` drops fusion tokens entirely.
+    """
+
+    encoder_configs: FrozenDict[str, Any]
+    dim: int
+    depth: int
+    dim_head: int = 64
+    heads: int = 8
+    ff_mult: float = 4
+    num_fusion_tokens: int = 16
+    bimodal_contrastive: bool = False
+    non_fusion_fcl: bool = False
+    fcl: bool = False
+    fcl_root: Tuple[int, ...] = (1, 2, 3, 4, 5)
+    fusion_combos: Tuple[int, ...] = (4, 5)
+    zorro: bool = False
+    no_fusion: bool = False
+    mean_pool: bool = False
+    precision: str = "fp32"
+    attention_impl: str = "dense"
+    loss_axis_name: Optional[str] = None
+
+    def setup(self) -> None:
+        enc_cfgs = dict(self.encoder_configs)
+        self.modality_types = tuple(enc_cfgs.keys())
+        token_dims = [
+            int(enc_cfgs[m]["max_tokens"]) for m in self.modality_types
+        ]
+        self.mask_set = masks_lib.build_masks(
+            token_dims,
+            self.num_fusion_tokens,
+            list(self.fusion_combos),
+            zorro=self.zorro,
+            fcl=self.fcl,
+            no_fusion=self.no_fusion,
+        )
+        self.encoders = {
+            name: build_encoder(name, cfg, self.dim)
+            for name, cfg in enc_cfgs.items()
+        }
+        dtype = _dtype_of(self.precision)
+        self.layers = [
+            MCALayer(
+                dim=self.dim,
+                dim_head=self.dim_head,
+                heads=self.heads,
+                ff_mult=self.ff_mult,
+                dtype=dtype,
+                attn_impl=self.attention_impl,
+                name=f"layer_{i}",
+            )
+            for i in range(self.depth)
+        ]
+        self.final_norm = LayerNorm(name="final_norm")
+        if not self.no_fusion:
+            self.fusion_tokens = self.param(
+                "fusion_tokens",
+                jax.nn.initializers.normal(1.0),
+                (self.mask_set.num_fusion_tokens, self.dim),
+            )
+        if self.mean_pool:
+            self.attn_pool = MeanTokenProjectionPool(
+                token_types=tuple(
+                    int(t) for t in self.mask_set.token_types
+                ),
+                in_dim=self.dim,
+                out_dim=self.dim,
+                projection=False,
+                name="attn_pool",
+            )
+        else:
+            self.return_tokens = self.param(
+                "return_tokens",
+                jax.nn.initializers.normal(1.0),
+                (self.mask_set.num_return_tokens, self.dim),
+            )
+            self.attn_pool = Attention(
+                dim=self.dim,
+                dim_head=self.dim_head,
+                heads=self.heads,
+                dtype=jnp.float32,
+                impl="dense",
+                name="attn_pool",
+            )
+        self.loss = MCAPretrainingLoss(
+            modality_names=self.modality_types,
+            do_fcl=self.fcl and not self.zorro,
+            fusion_combos=self.mask_set.fusion_combos,
+            bimodal_contrastive=self.bimodal_contrastive,
+            no_fusion=self.no_fusion,
+            non_fusion_fcl=self.non_fusion_fcl,
+            axis_name=self.loss_axis_name,
+            name="loss",
+        )
+
+    def encode_modalities(
+        self,
+        batch: Dict[str, Dict[str, Array]],
+        deterministic: bool = True,
+    ):
+        """Run every modality encoder; also derive the per-sample
+        presence mask (``(attn_mask == 0).any(axis=1)``, ref model.py:458)."""
+        tokens, pad_masks, sample_mask = [], [], {}
+        for m in self.modality_types:
+            t, a = self.encoders[m](
+                batch[m], deterministic=deterministic
+            )
+            tokens.append(t)
+            pad_masks.append(a.astype(bool))
+            sample_mask[m] = (a == 0).sum(axis=1) != 0
+        return tokens, pad_masks, sample_mask
+
+    def __call__(
+        self,
+        batch: Dict[str, Dict[str, Array]],
+        no_loss: bool = False,
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        tokens, pad_masks, sample_mask = self.encode_modalities(
+            batch, deterministic
+        )
+        bsz = tokens[0].shape[0]
+        if not self.no_fusion:
+            fusion = jnp.broadcast_to(
+                self.fusion_tokens[None],
+                (bsz,) + self.fusion_tokens.shape,
+            )
+            tokens.append(fusion.astype(tokens[0].dtype))
+            pad_masks.append(
+                jnp.zeros(
+                    (bsz, self.mask_set.num_fusion_tokens), dtype=bool
+                )
+            )
+        x = jnp.concatenate(tokens, axis=1)
+        padding = jnp.concatenate(pad_masks, axis=1)
+
+        attn_mask = jnp.asarray(self.mask_set.attn_mask)
+        dtype = _dtype_of(self.precision)
+        x = x.astype(dtype)
+        for layer in self.layers:
+            x = layer(x, attn_mask, padding)
+        x = self.final_norm(x.astype(jnp.float32))
+
+        if self.mean_pool:
+            pooled = self.attn_pool(x, padding)
+        else:
+            ret = jnp.broadcast_to(
+                self.return_tokens[None],
+                (bsz,) + self.return_tokens.shape,
+            )
+            pooled = (
+                self.attn_pool(
+                    ret,
+                    context=x,
+                    attn_mask=jnp.asarray(self.mask_set.pool_mask),
+                    key_padding_mask=padding,
+                )
+                + ret
+            )
+        outputs = self.loss(pooled, sample_mask, no_loss=no_loss)
+        outputs["modality_sample_mask"] = sample_mask
+        return outputs

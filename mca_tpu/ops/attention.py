@@ -1,0 +1,96 @@
+"""Masked multi-head attention ops.
+
+Two implementations of the same contract:
+
+- ``dense``: reference-semantics einsum attention (the numeric oracle).
+  Mirrors ref model.py:73-105 — scores are computed at full [B, H, Tq, Tk],
+  blocked/padded positions are *set* to the dtype's most-negative finite
+  value before softmax (so a fully-masked row softmaxes to uniform, like
+  torch ``masked_fill`` + softmax; such rows only occur at padded query
+  positions whose outputs are discarded downstream).
+- ``pallas``: block-sparse flash attention exploiting the static
+  modality-block structure of the zorro/MCA masks (see
+  ``mca_tpu.ops.flash_attention``); O(T) memory, skips fully-blocked
+  tiles.
+
+Masks: ``attn_mask`` is a static ``[Tq, Tk]`` bool (True = blocked)
+shared across the batch; ``key_padding_mask`` is a dynamic ``[B, Tk]``
+bool (True = padded key).  Softmax statistics accumulate in fp32
+regardless of the compute dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_NEG = float(jnp.finfo(jnp.float32).min)
+
+
+def dense_masked_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    scale: float,
+    attn_mask: Optional[Array] = None,
+    key_padding_mask: Optional[Array] = None,
+) -> Array:
+    """[B, H, Tq, Dh] x [B, H, Tk, Dh] -> [B, H, Tq, Dh]."""
+    out_dtype = q.dtype
+    sim = jnp.einsum(
+        "bhid,bhjd->bhij",
+        q * scale,
+        k,
+        preferred_element_type=jnp.float32,
+    )
+    if attn_mask is not None:
+        sim = jnp.where(attn_mask[None, None, :, :], _NEG, sim)
+    if key_padding_mask is not None:
+        sim = jnp.where(
+            key_padding_mask[:, None, None, :], _NEG, sim
+        )
+    attn = jax.nn.softmax(sim, axis=-1)
+    out = jnp.einsum(
+        "bhij,bhjd->bhid",
+        attn.astype(out_dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(out_dtype)
+
+
+def masked_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    scale: float,
+    attn_mask: Optional[Array] = None,
+    key_padding_mask: Optional[Array] = None,
+    impl: str = "dense",
+) -> Array:
+    """Dispatch between the dense oracle and the Pallas flash kernel."""
+    if impl == "pallas":
+        from mca_tpu.ops.flash_attention import flash_masked_attention
+
+        return flash_masked_attention(
+            q,
+            k,
+            v,
+            scale=scale,
+            attn_mask=attn_mask,
+            key_padding_mask=key_padding_mask,
+        )
+    return dense_masked_attention(
+        q,
+        k,
+        v,
+        scale=scale,
+        attn_mask=attn_mask,
+        key_padding_mask=key_padding_mask,
+    )

@@ -1,0 +1,57 @@
+"""Device mesh + sharding helpers.
+
+The training step is ``jit``-ed over a 2-D ``('data', 'model')`` mesh:
+
+- the batch pytree is sharded along ``data`` (data parallelism — the
+  reference's only parallelism, via DDP, ref train_accel_gpu.py:93-95);
+- selected parameter matrices are sharded along ``model`` (tensor
+  parallelism over attention heads / FF inner dim — a capability the
+  16M-param reference never needed but the TPU design supports, see
+  ``mca_tpu.parallel.sharding``).
+
+Gradient averaging over ``data`` and the contrastive loss's global
+batch both fall out of XLA's partitioner: the loss is written on the
+global batch, so no hand-written collectives appear in the model code.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: int = 0,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """('data', 'model') mesh; ``data=0`` means all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if data in (0, None):
+        assert len(devices) % model == 0
+        data = len(devices) // model
+    assert data * model <= len(devices), (
+        f"mesh {data}x{model} > {len(devices)} devices"
+    )
+    grid = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(grid, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis 'data' sharding for every leaf of a batch pytree."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a (nested dict) numpy batch, sharded along 'data'."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sharding), batch
+    )

@@ -1,0 +1,302 @@
+"""Linear/MLP probe evaluation: ``python -m mca_tpu.probe <eval.yaml>``.
+
+TPU rebuild of ``/root/reference/lp_accel_gpu.py``: loads the six
+embedding/mask/label files produced by :mod:`mca_tpu.infer` (or by the
+reference's own inference script — the ``.pt`` format is shared),
+optionally computes retrieval rank metrics and uniformity/alignment per
+modality, then trains a linear or MLP head on the fusion embeddings.
+
+- ``task`` selects the label column; ``-1`` keeps all columns
+  (ref lp_accel_gpu.py:22-35),
+- ``loss_type`` ∈ {L1, MSE, BCE, CE} with the matching metric suite
+  (PCC for regression; precision/recall/accuracy/F1/specificity/
+  AUROC/AUPRC/confusion matrix for classification, ref :121-157),
+- AdamW + HF LR schedule + gradient clipping, per-epoch train/eval
+  metric logs (ref :182-231).
+
+The reference's rank-metric path crashed as-committed (mismatched
+callsite, ref :72-76); here it is implemented correctly: each
+modality's embeddings retrieve their own sample's fusion embedding
+within the split.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+
+from mca_tpu.config import Config, embedding_eval_config
+from mca_tpu.encoders import torch_linear_init
+from mca_tpu.infer import load_embedding_file, load_label_file
+from mca_tpu.metrics import (
+    alignment,
+    binary_metrics,
+    multiclass_metrics,
+    pearson_r,
+    rank_metrics,
+    uniformity,
+)
+from mca_tpu.train import hf_lr_schedule
+from mca_tpu.utils.logging import JSONLLogger
+from mca_tpu.utils.trees import global_norm
+
+logger = logging.getLogger(__name__)
+
+
+class ProbeHead(nn.Module):
+    """Linear head or 2-layer MLP (ref lp_accel_gpu.py:109-117)."""
+
+    num_labels: int
+    model_type: str = "linear"
+    hidden_size: int = 256
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.model_type == "linear":
+            return nn.Dense(
+                self.num_labels, kernel_init=torch_linear_init
+            )(x)
+        h = nn.Dense(
+            self.hidden_size, kernel_init=torch_linear_init
+        )(x)
+        if not deterministic:
+            h = nn.Dropout(rate=self.dropout, deterministic=False)(h)
+        h = nn.relu(h)
+        return nn.Dense(
+            self.num_labels, kernel_init=torch_linear_init
+        )(h)
+
+
+def make_loss_fn(loss_type: str):
+    if loss_type == "L1":
+        return lambda pred, y: jnp.abs(
+            pred.squeeze() - y
+        ).mean()
+    if loss_type == "MSE":
+        return lambda pred, y: jnp.square(
+            pred.squeeze() - y
+        ).mean()
+    if loss_type == "BCE":
+        return lambda pred, y: optax.sigmoid_binary_cross_entropy(
+            pred.squeeze(), y
+        ).mean()
+    if loss_type == "CE":
+        return lambda pred, y: optax.softmax_cross_entropy_with_integer_labels(
+            pred, y.astype(jnp.int32)
+        ).mean()
+    raise ValueError(f"unknown loss_type {loss_type!r}")
+
+
+def compute_suite(
+    loss_type: str, logits: np.ndarray, labels: np.ndarray
+) -> Dict[str, Any]:
+    if loss_type in ("L1", "MSE"):
+        return {"PCC": pearson_r(logits.squeeze(), labels)}
+    if loss_type == "BCE":
+        return binary_metrics(logits, labels)
+    if loss_type == "CE":
+        return multiclass_metrics(
+            logits, labels, num_classes=logits.shape[-1]
+        )
+    raise ValueError(loss_type)
+
+
+def select_task(labels: np.ndarray, task: int) -> np.ndarray:
+    labels = np.asarray(labels).squeeze()
+    if task == -1 or labels.ndim == 1:
+        return labels
+    return labels[:, task]
+
+
+def log_rank_metrics(
+    e_train, m_train, e_test, m_test, log: JSONLLogger
+) -> None:
+    """Retrieval + embedding-space metrics per modality
+    (ref lp_accel_gpu.py:70-97, fixed)."""
+    modality_keys = [
+        k
+        for k in e_train.keys()
+        if isinstance(k, str) and k != "fusion"
+    ]
+    for k in modality_keys:
+        metrics = {}
+        for split, e, m in (
+            ("train", e_train, m_train),
+            ("test", e_test, m_test),
+        ):
+            mask = np.asarray(m[k]).astype(bool)
+            rm = rank_metrics(e[k], e["fusion"], mask=mask)
+            metrics.update(
+                {f"{split}_{name}": v for name, v in rm.items()}
+            )
+            metrics[f"{split}_uniformity"] = uniformity(
+                np.asarray(e[k])[mask]
+            )
+            metrics[f"{split}_alignment"] = alignment(
+                np.asarray(e[k])[mask],
+                np.asarray(e["fusion"])[mask],
+            )
+        log.log({f"{k}_{n}": v for n, v in metrics.items()})
+    log.log(
+        {
+            "train_uniformity_fusion": uniformity(
+                np.asarray(e_train["fusion"])
+            ),
+            "test_uniformity_fusion": uniformity(
+                np.asarray(e_test["fusion"])
+            ),
+        }
+    )
+
+
+def probe(config: Config) -> Dict[str, Any]:
+    """Train the probe head; returns the final epoch's metrics."""
+    d = config.embedding_dir
+    e_train = load_embedding_file(f"{d}/train_embeddings")
+    m_train = load_embedding_file(f"{d}/train_masks")
+    s_train = select_task(
+        load_label_file(f"{d}/train_labels"), config.task
+    )
+    e_test = load_embedding_file(f"{d}/eval_embeddings")
+    m_test = load_embedding_file(f"{d}/eval_masks")
+    s_test = select_task(
+        load_label_file(f"{d}/eval_labels"), config.task
+    )
+    log = JSONLLogger(config.output_dir)
+
+    if config.rank_metrics:
+        log_rank_metrics(e_train, m_train, e_test, m_test, log)
+
+    x_train = np.asarray(e_train["fusion"], np.float32)
+    x_test = np.asarray(e_test["fusion"], np.float32)
+    y_train = np.asarray(s_train, np.float32)
+    y_test = np.asarray(s_test, np.float32)
+    num_labels = 1 if y_train.ndim == 1 else y_train.shape[1]
+    if config.loss_type == "CE":
+        # integer class labels (one-hot labels -> argmax)
+        if y_train.ndim > 1:
+            y_train = y_train.argmax(-1).astype(np.float32)
+            y_test = y_test.argmax(-1).astype(np.float32)
+            num_labels = int(
+                max(y_train.max(), y_test.max())
+            ) + 1
+
+    head = ProbeHead(
+        num_labels=num_labels,
+        model_type=config.model_type,
+        hidden_size=config.hidden_size,
+        dropout=config.dropout,
+    )
+    loss_fn = make_loss_fn(config.loss_type)
+    n_train = len(x_train)
+    steps_per_epoch = max(n_train // config.batch_size, 1)
+    num_training_steps = config.epochs * steps_per_epoch
+    schedule = hf_lr_schedule(
+        config.lr_scheduler_type,
+        config.lr,
+        config.num_warmup_steps,
+        num_training_steps,
+    )
+    chain = []
+    if config.clip:
+        chain.append(optax.clip_by_global_norm(config.clip))
+    chain.append(optax.adamw(schedule, weight_decay=0.01))
+    tx = optax.chain(*chain)
+
+    params = head.init(
+        jax.random.key(config.seed), jnp.asarray(x_train[:2])
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, x, y):
+        def lf(p):
+            logits = head.apply(p, x)
+            return loss_fn(logits, y), logits
+
+        (loss, logits), grads = jax.value_and_grad(
+            lf, has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, logits, global_norm(grads)
+
+    @jax.jit
+    def eval_logits(params, x):
+        return head.apply(params, x)
+
+    rng = np.random.default_rng(config.seed)
+    final_metrics: Dict[str, Any] = {}
+    for epoch in range(config.epochs):
+        order = rng.permutation(n_train)
+        epoch_loss = 0.0
+        preds, targs = [], []
+        grad_norm = 0.0
+        for s in range(steps_per_epoch):
+            idx = order[
+                s * config.batch_size : (s + 1) * config.batch_size
+            ]
+            params, opt_state, loss, logits, gn = train_step(
+                params,
+                opt_state,
+                jnp.asarray(x_train[idx]),
+                jnp.asarray(y_train[idx]),
+            )
+            epoch_loss += float(loss)
+            grad_norm = float(gn)
+            preds.append(np.asarray(logits))
+            targs.append(y_train[idx])
+        train_met = compute_suite(
+            config.loss_type,
+            np.concatenate(preds),
+            np.concatenate(targs),
+        )
+        test_logits = np.asarray(eval_logits(params, jnp.asarray(x_test)))
+        eval_loss = float(
+            loss_fn(jnp.asarray(test_logits), jnp.asarray(y_test))
+        )
+        eval_met = compute_suite(config.loss_type, test_logits, y_test)
+        record = {
+            "train_loss": epoch_loss / steps_per_epoch,
+            "eval_loss": eval_loss,
+            "lr": float(schedule(epoch * steps_per_epoch)),
+            "param_norm": float(global_norm(params)),
+            "grad_norm": grad_norm,
+        }
+        record.update(
+            {
+                f"train_{k}": v
+                for k, v in train_met.items()
+                if k != "cm"
+            }
+        )
+        record.update(
+            {
+                f"eval_{k}": v
+                for k, v in eval_met.items()
+                if k != "cm"
+            }
+        )
+        log.log(record, step=epoch)
+        final_metrics = record
+    log.close()
+    return final_metrics
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO)
+    argv = argv if argv is not None else sys.argv[1:]
+    config = embedding_eval_config(argv[0])
+    probe(config)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,424 @@
+"""Pretraining loop: ``python -m mca_tpu.train <config.yaml>``.
+
+TPU-native replacement for the reference's Accelerate-driven script
+(``/root/reference/train_accel_gpu.py``): one jit-compiled train step
+(forward + loss + grads + optax update, donated state) over a
+``('data','model')`` device mesh.  The batch is sharded on ``data``;
+the contrastive loss is written on the global batch, so the all-gather
+the reference does by hand (utils/distributed.py) is inserted by the
+XLA partitioner over ICI.
+
+Matches the reference's training semantics:
+- AdamW (wd 0.01, torch defaults) + HF-style LR schedule with linear
+  warmup (ref train_accel_gpu.py:80-86),
+- global-norm gradient clipping when ``clip`` is set (ref :116-117),
+- per-step metric logs: total/per-pair losses (keys without '|'),
+  param/grad norms, lr (ref :126-130) — to JSONL (+ optional wandb),
+- per-epoch + every-n-step checkpoints in ``output_dir/<epoch>/``
+  (ref :122-123, 133-134), restart via ``config.restart`` (ref :97-99),
+- eval loop with per-pair losses and Uniformity/Alignment metrics,
+  normalised and not (ref :137-184),
+- final parameter save (ref :187).
+
+The learnable contrastive temperature is clamped to [ln1, ln100] after
+every update (the reference clamps the parameter in-place before each
+forward, ref utils/contrastive_loss_with_temperature.py:156-187).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import sys
+import os
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mca_tpu import checkpoint as ckpt
+from mca_tpu.config import Config, get_model_config, training_config
+from mca_tpu.data.collators import MultimodalCollator
+from mca_tpu.data.dataset import BatchedLoader, setup_data
+from mca_tpu.losses import LOGIT_SCALE_MAX, LOGIT_SCALE_MIN
+from mca_tpu.metrics import MetricAccumulator
+from mca_tpu.models import build_model
+from mca_tpu.parallel.mesh import make_mesh, shard_batch
+from mca_tpu.parallel.sharding import shard_params
+from mca_tpu.utils.logging import JSONLLogger, ThroughputMeter
+from mca_tpu.utils.trees import count_parameters, global_norm
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# Schedule + optimizer
+# ---------------------------------------------------------------------------
+
+
+def hf_lr_schedule(
+    kind: str, lr: float, num_warmup_steps: int, num_training_steps: int
+):
+    """transformers.get_scheduler semantics (linear warmup + decay)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warmup = jnp.maximum(num_warmup_steps, 1)
+        warm = step / warmup
+        progress = (step - num_warmup_steps) / jnp.maximum(
+            num_training_steps - num_warmup_steps, 1
+        )
+        progress = jnp.clip(progress, 0.0, 1.0)
+        if kind == "cosine":
+            decay = 0.5 * (1.0 + jnp.cos(jnp.pi * progress))
+        elif kind == "linear":
+            decay = 1.0 - progress
+        elif kind == "constant_with_warmup":
+            decay = 1.0
+        elif kind == "constant":
+            return jnp.asarray(lr, jnp.float32)
+        else:
+            raise ValueError(f"unknown lr_scheduler_type {kind!r}")
+        return lr * jnp.where(step < num_warmup_steps, warm, decay)
+
+    return schedule
+
+
+def clamp_logit_scale() -> optax.GradientTransformation:
+    """Post-update clamp of every ``logit_scale*`` parameter."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del state
+        if params is None:
+            return updates, optax.EmptyState()
+
+        def clamp(path, u, p):
+            name = jax.tree_util.keystr(path)
+            if "logit_scale" in name:
+                # clamp the post-update VALUE by adjusting the update
+                return (
+                    jnp.clip(
+                        p + u, LOGIT_SCALE_MIN, LOGIT_SCALE_MAX
+                    )
+                    - p
+                )
+            return u
+
+        return (
+            jax.tree_util.tree_map_with_path(clamp, updates, params),
+            optax.EmptyState(),
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_optimizer(
+    config: Config, num_training_steps: int
+) -> optax.GradientTransformation:
+    schedule = hf_lr_schedule(
+        config.lr_scheduler_type,
+        config.lr,
+        config.num_warmup_steps,
+        num_training_steps,
+    )
+    chain = []
+    if config.clip:
+        chain.append(optax.clip_by_global_norm(config.clip))
+    chain.append(
+        optax.adamw(
+            schedule,
+            b1=0.9,
+            b2=0.999,
+            eps=1e-8,
+            weight_decay=0.01,  # torch AdamW default
+        )
+    )
+    chain.append(clamp_logit_scale())
+    return optax.chain(*chain)
+
+
+# ---------------------------------------------------------------------------
+# Train state + step
+# ---------------------------------------------------------------------------
+
+
+def init_state(
+    model, tx, batch, seed: int
+) -> Dict[str, Any]:
+    params = jax.jit(model.init)(jax.random.key(seed), batch)
+    return {
+        "params": params,
+        "opt_state": tx.init(params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def make_train_step(model, tx, schedule):
+    """One jit-compiled step: grads + update + metric scalars."""
+
+    @partial(jax.jit, donate_argnums=0)
+    def train_step(state, batch):
+        def loss_fn(params):
+            out = model.apply(params, batch)
+            return out["loss"], out
+
+        (loss, out), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state["params"])
+        updates, opt_state = tx.update(
+            grads, state["opt_state"], state["params"]
+        )
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {
+            "params": params,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }
+        metrics = {
+            "total_loss": loss,
+            "param_norm": global_norm(params),
+            "grad_norm": global_norm(grads),
+            "lr": schedule(state["step"]),
+        }
+        # per-pair logs, reference filters keys containing '|'
+        # (train_accel_gpu.py:127)
+        for k, v in out["losses"].items():
+            if "|" not in k:
+                metrics[k] = v
+        for k in ("fcl_loss", "no-fcl_loss"):
+            if k in out:
+                metrics[k] = out[k]
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model):
+    @jax.jit
+    def eval_step(params, batch):
+        out = model.apply(params, batch)
+        return out
+
+    return eval_step
+
+
+# ---------------------------------------------------------------------------
+# The loop
+# ---------------------------------------------------------------------------
+
+
+def run_eval_epoch(
+    config: Config,
+    model_config: Dict[str, Any],
+    eval_step,
+    params,
+    eval_dl,
+    mesh,
+    log: JSONLLogger,
+    step: int,
+) -> None:
+    """Eval loop with the reference's metric names
+    (train_accel_gpu.py:137-184)."""
+    modality_names = list(config.modality_config.keys())
+    unif = {k: MetricAccumulator() for k in modality_names}
+    if not model_config["eao"]:
+        unif["fusion"] = MetricAccumulator()
+        align = {k: MetricAccumulator() for k in modality_names}
+    else:
+        align = {}
+    losses: Dict[str, float] = {}
+    n_batches = 0
+    for batch in eval_dl:
+        out = eval_step(params, shard_batch(batch, mesh))
+        n_batches += 1
+        losses["total_loss"] = losses.get("total_loss", 0.0) + float(
+            out["loss"]
+        )
+        step_log = {"val_step_total_loss": float(out["loss"])}
+        for k, v in out["losses"].items():
+            losses[k] = losses.get(k, 0.0) + float(v)
+            if "|" not in k:
+                step_log["val_step_" + k] = float(v)
+        log.log(step_log, step=step)
+        sample_mask = jax.device_get(out["modality_sample_mask"])
+        for k, acc in unif.items():
+            if k == "fusion":
+                acc.update(np.asarray(out["fusion"]))
+            else:
+                m = np.asarray(sample_mask[k])
+                acc.update(np.asarray(out[k])[m])
+        for k, acc in align.items():
+            m = np.asarray(sample_mask[k])
+            acc.update(
+                np.asarray(out[k])[m], np.asarray(out["fusion"])[m]
+            )
+    if not n_batches:
+        return
+    epoch_log = {
+        "val_epoch_" + k: v / n_batches
+        for k, v in losses.items()
+        if "|" not in k
+    }
+    for norm, prefix in ((False, ""), (True, "norm_")):
+        u = {
+            f"val_epoch_{prefix}uniformity_{k}": acc.compute_uniformity(
+                norm=norm
+            )
+            for k, acc in unif.items()
+            if acc
+        }
+        epoch_log.update(u)
+        if u:
+            epoch_log[f"val_epoch_{prefix}unformity_avg"] = float(
+                np.mean(list(u.values()))
+            )
+        if align:
+            a = {
+                f"val_epoch_{prefix}alignment_{k}": acc.compute_alignment(
+                    norm=norm
+                )
+                for k, acc in align.items()
+                if acc
+            }
+            epoch_log.update(a)
+            if a:
+                epoch_log[f"val_epoch_{prefix}alignment_avg"] = float(
+                    np.mean(list(a.values()))
+                )
+    log.log(epoch_log, step=step)
+
+
+def train(config: Config) -> str:
+    """Run pretraining; returns the output directory."""
+    mesh = make_mesh(config.mesh_data, config.mesh_model)
+    model_config = get_model_config(config)
+    model = build_model(model_config)
+
+    datasets = setup_data(
+        config.dataset,
+        split=config.split,
+        ds_frac=config.ds_frac,
+        ds_seed=config.ds_seed,
+        predrop=config.predrop,
+        predrop_config=config.modality_config.to_plain()
+        if hasattr(config.modality_config, "to_plain")
+        else config.modality_config,
+    )
+    collator = MultimodalCollator(
+        config.modality_config.to_plain()
+        if hasattr(config.modality_config, "to_plain")
+        else config.modality_config
+    )
+    train_dl = BatchedLoader(
+        datasets["train"],
+        collator,
+        config.batch_size,
+        shuffle=True,
+        seed=config.seed,
+    )
+    eval_dl = BatchedLoader(
+        datasets["test"], collator, config.batch_size
+    )
+    num_training_steps = config.epochs * len(train_dl)
+    schedule = hf_lr_schedule(
+        config.lr_scheduler_type,
+        config.lr,
+        config.num_warmup_steps,
+        num_training_steps,
+    )
+    tx = make_optimizer(config, num_training_steps)
+
+    first_batch = shard_batch(next(iter(train_dl)), mesh)
+    state = init_state(model, tx, first_batch, config.seed)
+    state["params"] = shard_params(state["params"], mesh)
+
+    n_emb, n_non = count_parameters(state["params"])
+    logger.info("Number of embedding parameters: %.2fM", n_emb / 1e6)
+    logger.info(
+        "Number of non-embedding parameters: %.2fM", n_non / 1e6
+    )
+    logger.info(
+        "Number of training samples: %d", len(datasets["train"])
+    )
+    logger.info(
+        "Number of training batches per epoch: %d", len(train_dl)
+    )
+
+    if config.restart:
+        logger.info("Loading saved state from %s", config.restart)
+        state = ckpt.load_state(config.restart, target=state)
+
+    wandb_cfg = None
+    if config.wandb:
+        wandb_cfg = {
+            "project": config.wandb_name,
+            "entity": config.wandb_account_name or None,
+            "config": config.to_plain(),
+        }
+    log = JSONLLogger(config.output_dir, wandb_config=wandb_cfg)
+    tokens_per_step = config.batch_size * int(
+        sum(
+            e["max_tokens"] for e in config.encoder_configs.values()
+        )
+        + config.num_fusion_tokens
+    )
+    meter = ThroughputMeter(tokens_per_step)
+
+    train_step = make_train_step(model, tx, schedule)
+    eval_step = make_eval_step(model)
+
+    for epoch in range(config.start_epoch, config.epochs):
+        train_dl.set_epoch(epoch)
+        for idb, batch in enumerate(train_dl):
+            state, metrics = train_step(
+                state, shard_batch(batch, mesh)
+            )
+            meter.step()
+            if (
+                config.n_step_checkpoint
+                and idb % config.n_step_checkpoint == 0
+            ):
+                ckpt.save_state(state, config.output_dir)
+            step = int(state["step"])
+            if step % max(config.log_every, 1) == 0:
+                metrics = {
+                    k: float(v) for k, v in metrics.items()
+                }
+                metrics["tokens_per_sec"] = meter.tokens_per_sec
+                metrics["epoch"] = epoch
+                log.log(metrics, step=step)
+        ckpt.save_state(
+            state, os.path.join(config.output_dir, str(epoch))
+        )
+        if config.run_eval_loop:
+            run_eval_epoch(
+                config,
+                model_config,
+                eval_step,
+                state["params"],
+                eval_dl,
+                mesh,
+                log,
+                int(state["step"]),
+            )
+    ckpt.save_params(state["params"], config.output_dir)
+    log.close()
+    return config.output_dir
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO)
+    argv = argv if argv is not None else sys.argv[1:]
+    config = training_config(argv[0])
+    train(config)
+
+
+if __name__ == "__main__":
+    main()

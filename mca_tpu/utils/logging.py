@@ -1,0 +1,120 @@
+"""Step logging + throughput metering.
+
+The reference logs per-step metrics to wandb via Accelerate
+(``train_accel_gpu.py:126-130``).  Here the default sink is a local
+JSONL file (one dict per line, always available, machine-readable for
+the probe/bench harnesses); wandb is mirrored when installed AND
+enabled in the config.  A :class:`ThroughputMeter` provides the
+tokens/sec/chip numbers the TPU rebuild is benchmarked on, and
+:func:`trace_context` wraps ``jax.profiler`` for on-demand traces —
+the observability the reference lacked (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from contextlib import contextmanager
+from typing import Any, Dict, Optional
+
+
+def _to_scalar(v: Any) -> Any:
+    try:
+        import numpy as np
+
+        if hasattr(v, "item"):
+            return v.item()
+        if isinstance(v, (np.floating, np.integer)):
+            return v.item()
+    except Exception:
+        pass
+    return v
+
+
+class JSONLLogger:
+    """Append-only JSONL metric log with optional wandb mirroring."""
+
+    def __init__(
+        self,
+        output_dir: str,
+        filename: str = "metrics.jsonl",
+        wandb_config: Optional[Dict[str, Any]] = None,
+    ):
+        os.makedirs(output_dir, exist_ok=True)
+        self.path = os.path.join(output_dir, filename)
+        self._file = open(self.path, "a", buffering=1)
+        self._wandb = None
+        if wandb_config:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(**wandb_config)
+            except Exception:
+                self._wandb = None  # wandb absent: JSONL only
+
+    def log(self, metrics: Dict[str, Any], step: Optional[int] = None):
+        record = {k: _to_scalar(v) for k, v in metrics.items()}
+        if step is not None:
+            record["step"] = int(step)
+        record["time"] = time.time()
+        self._file.write(json.dumps(record) + "\n")
+        if self._wandb is not None:
+            self._wandb.log(
+                {k: v for k, v in record.items() if k != "time"},
+                step=step,
+            )
+
+    def close(self):
+        self._file.close()
+        if self._wandb is not None:
+            self._wandb.finish()
+
+
+class ThroughputMeter:
+    """Steady-state tokens/sec and step-time tracking (skips warmup)."""
+
+    def __init__(self, tokens_per_step: int, warmup_steps: int = 2):
+        self.tokens_per_step = tokens_per_step
+        self.warmup_steps = warmup_steps
+        self._steps = 0
+        self._t0 = None
+        self._counted = 0
+
+    def step(self):
+        self._steps += 1
+        if self._steps == self.warmup_steps:
+            self._t0 = time.perf_counter()
+            self._counted = 0
+        elif self._steps > self.warmup_steps:
+            self._counted += 1
+
+    @property
+    def tokens_per_sec(self) -> float:
+        if not self._t0 or not self._counted:
+            return 0.0
+        dt = time.perf_counter() - self._t0
+        return self._counted * self.tokens_per_step / dt
+
+    @property
+    def step_ms(self) -> float:
+        if not self._t0 or not self._counted:
+            return 0.0
+        return (
+            (time.perf_counter() - self._t0) / self._counted * 1000.0
+        )
+
+
+@contextmanager
+def trace_context(trace_dir: Optional[str]):
+    """jax.profiler trace over a block when ``trace_dir`` is set."""
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(trace_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -7,13 +7,20 @@ substitute for a fake distributed backend).
 
 import os
 
-# Must be set before jax is imported anywhere.
+# XLA_FLAGS must be in the environment before backends initialise; the
+# platform choice must ALSO be forced via jax.config — on this image the
+# JAX_PLATFORMS env var alone is ignored by the 'axon' TPU plugin and
+# tests would silently serialise onto the single tunnelled TPU chip.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

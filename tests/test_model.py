@@ -1,0 +1,346 @@
+"""Model tests: shapes, mask-isolation properties, and full numeric
+parity against the reference implementation via weight transplant."""
+
+import os
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mca_tpu.config import training_config_from_dict, get_model_config
+from mca_tpu.data.collators import MultimodalCollator
+from mca_tpu.data.synthetic import make_tcga_like, tiny_config
+from mca_tpu.losses import combo_key
+from mca_tpu.models import build_model
+
+
+def make_batch(cfg, n=4, p_missing=0.0, seed=0):
+    samples = make_tcga_like(
+        n,
+        widths={
+            m: c["pad_len"] for m, c in cfg.modality_config.items()
+        },
+        p_missing=p_missing,
+        seed=seed,
+    )
+    coll = MultimodalCollator(cfg.modality_config.to_plain())
+    return coll(samples), samples
+
+
+@pytest.fixture(scope="module")
+def tcga_model():
+    cfg = training_config_from_dict(tiny_config("tcga"))
+    model = build_model(get_model_config(cfg))
+    batch, _ = make_batch(cfg, n=4, p_missing=0.3, seed=0)
+    batch = jax.tree.map(jnp.asarray, batch)
+    params = jax.jit(model.init)(jax.random.key(0), batch)
+    return cfg, model, params
+
+
+def test_forward_shapes_and_finiteness(tcga_model):
+    cfg, model, params = tcga_model
+    batch, _ = make_batch(cfg, n=4, p_missing=0.3, seed=1)
+    out = jax.jit(model.apply)(params, jax.tree.map(jnp.asarray, batch))
+    dim = cfg.hidden_size
+    for m in cfg.modality_config:
+        assert out[m].shape == (4, dim)
+    assert out["fusion"].shape == (4, dim)
+    assert np.isfinite(float(out["loss"]))
+    # 11 combos for 4 modalities with powers [4,3,2]
+    n_combos = sum(1 for k in out if str(k).startswith("combo:"))
+    assert n_combos == 11
+    # bimodal (C(5,2)=10) + fcl_fusion (10) + non_fusion_fcl (4*10)
+    assert len(out["losses"]) == 10 + 10 + 40
+
+
+def test_channel_isolation(tcga_model):
+    """Fusion channel {0,1} must be invariant to modalities 2 and 3 —
+    the end-to-end effect of the MCA mask through all layers."""
+    cfg, model, params = tcga_model
+    batch, _ = make_batch(cfg, n=4, p_missing=0.0, seed=2)
+    names = list(cfg.modality_config.keys())
+    batch2 = jax.tree.map(np.copy, batch)
+    # perturb modalities 2 and 3 only
+    for m in names[2:]:
+        batch2[m]["values"] = batch2[m]["values"] + 1.0
+
+    apply = jax.jit(
+        lambda p, b: model.apply(p, b, no_loss=True)
+    )
+    out1 = apply(params, jax.tree.map(jnp.asarray, batch))
+    out2 = apply(params, jax.tree.map(jnp.asarray, batch2))
+    pair01 = combo_key(frozenset({0, 1}))
+    np.testing.assert_allclose(
+        np.asarray(out1[pair01]), np.asarray(out2[pair01]), atol=1e-5
+    )
+    # modality-0 return token is likewise isolated
+    np.testing.assert_allclose(
+        np.asarray(out1[names[0]]),
+        np.asarray(out2[names[0]]),
+        atol=1e-5,
+    )
+    # but the root (all-modality) channel must change
+    root = combo_key(frozenset({0, 1, 2, 3}))
+    assert (
+        np.abs(np.asarray(out1[root]) - np.asarray(out2[root])).max()
+        > 1e-3
+    )
+
+
+def test_missing_modality_loss_invariance(tcga_model):
+    """Perturbing the data of a fully-missing modality must not change
+    the loss (its tokens are padding-masked and its pairs presence-
+    masked)."""
+    cfg, model, params = tcga_model
+    batch, _ = make_batch(cfg, n=4, p_missing=0.0, seed=3)
+    names = list(cfg.modality_config.keys())
+    m0 = names[0]
+    # make modality 0 missing for every sample (all pad_token)
+    batch[m0]["values"][:] = -10000.0
+    batch[m0]["attention_mask"][:] = 1
+    batch2 = jax.tree.map(np.copy, batch)
+    batch2[m0]["values"][:] = 123.456  # garbage, but still all-padded?
+    # NOTE: values must stay == pad_token for the mask to persist; so
+    # instead perturb AND keep the mask by setting the mask explicitly.
+    batch2[m0]["attention_mask"][:] = 1
+
+    apply = jax.jit(lambda p, b: model.apply(p, b))
+    out1 = apply(params, jax.tree.map(jnp.asarray, batch))
+    out2 = apply(params, jax.tree.map(jnp.asarray, batch2))
+    np.testing.assert_allclose(
+        float(out1["loss"]), float(out2["loss"]), rtol=1e-4
+    )
+
+
+def test_zorro_variant_runs():
+    cfg = training_config_from_dict(tiny_config("tcga", zorro=True))
+    model = build_model(get_model_config(cfg))
+    batch, _ = make_batch(cfg, n=4, seed=0)
+    batch = jax.tree.map(jnp.asarray, batch)
+    params = jax.jit(model.init)(jax.random.key(0), batch)
+    out = jax.jit(model.apply)(params, batch)
+    # zorro: no per-combo outputs, single fusion token
+    assert not any(str(k).startswith("combo:") for k in out)
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_eao_variant_runs():
+    cfg = training_config_from_dict(
+        tiny_config(
+            "tcga",
+            eao=True,
+            no_fusion=True,
+            mean_pool=True,
+            num_fusion_tokens=0,
+            fusion_combos=[2],
+            fcl_root=[0, 1],
+        )
+    )
+    model = build_model(get_model_config(cfg))
+    batch, _ = make_batch(cfg, n=4, seed=0)
+    batch = jax.tree.map(jnp.asarray, batch)
+    params = jax.jit(model.init)(jax.random.key(0), batch)
+    out = jax.jit(model.apply)(params, batch)
+    assert np.isfinite(float(out["loss"]))
+    # 6 two-way combos of 4 modalities
+    assert sum(1 for k in out if str(k).startswith("combo:")) == 6
+
+
+def test_mean_pool_variant_runs():
+    cfg = training_config_from_dict(
+        tiny_config("tcga", zorro=True, mean_pool=True, fcl=False)
+    )
+    model = build_model(get_model_config(cfg))
+    batch, _ = make_batch(cfg, n=4, seed=0)
+    batch = jax.tree.map(jnp.asarray, batch)
+    params = jax.jit(model.init)(jax.random.key(0), batch)
+    out = jax.jit(model.apply)(params, batch)
+    assert np.isfinite(float(out["loss"]))
+
+
+# ---------------------------------------------------------------------------
+# Numeric parity vs the reference (weight transplant, forward no_loss)
+# ---------------------------------------------------------------------------
+
+
+def _import_reference_model(reference_path):
+    torch = pytest.importorskip("torch")
+    stub = types.ModuleType(
+        "torchmultimodal.modules.losses.contrastive_loss_with_temperature"
+    )
+
+    class _StubLoss(torch.nn.Module):
+        pass
+
+    stub.ContrastiveLossWithTemperature = _StubLoss
+    for name in (
+        "torchmultimodal",
+        "torchmultimodal.modules",
+        "torchmultimodal.modules.losses",
+    ):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules[
+        "torchmultimodal.modules.losses.contrastive_loss_with_temperature"
+    ] = stub
+    sys.path.insert(0, reference_path)
+    try:
+        import importlib
+
+        ref_model = importlib.import_module("model")
+        ref_model = importlib.reload(ref_model)
+    finally:
+        sys.path.remove(reference_path)
+    return ref_model
+
+
+def _transplant(ref_sd, our_params, names, depth):
+    """Copy a reference MCA state_dict into our flax param tree."""
+    p = jax.tree.map(lambda x: np.asarray(x).copy(), our_params)[
+        "params"
+    ]
+
+    def t(key):  # torch tensor -> numpy
+        return ref_sd[key].detach().numpy()
+
+    for m in names:
+        enc = p[m]
+        enc["token_encoder"]["embedding"] = t(
+            f"encoders.{m}.token_encoder.embedding.weight"
+        )
+        ve = enc["value_encoder"]
+        ve["linear1"]["kernel"] = t(
+            f"encoders.{m}.value_encoder.linear1.weight"
+        ).T
+        ve["linear1"]["bias"] = t(
+            f"encoders.{m}.value_encoder.linear1.bias"
+        )
+        ve["linear2"]["kernel"] = t(
+            f"encoders.{m}.value_encoder.linear2.weight"
+        ).T
+        ve["linear2"]["bias"] = t(
+            f"encoders.{m}.value_encoder.linear2.bias"
+        )
+        ve["norm"]["scale"] = t(f"encoders.{m}.value_encoder.norm.weight")
+        ve["norm"]["bias"] = t(f"encoders.{m}.value_encoder.norm.bias")
+    for i in range(depth):
+        layer = p[f"layer_{i}"]
+        layer["attn"]["to_q"]["kernel"] = t(
+            f"layers.{i}.attn.to_q.weight"
+        ).T
+        layer["attn"]["to_kv"]["kernel"] = t(
+            f"layers.{i}.attn.to_kv.weight"
+        ).T
+        layer["attn"]["to_out"]["kernel"] = t(
+            f"layers.{i}.attn.to_out.weight"
+        ).T
+        layer["ff"]["w_in"]["kernel"] = t(
+            f"layers.{i}.ff.feedforward.0.weight"
+        ).T
+        layer["ff"]["w_out"]["kernel"] = t(
+            f"layers.{i}.ff.feedforward.2.weight"
+        ).T
+        layer["norm"]["LayerNorm_0"]["scale"] = t(
+            f"layers.{i}.norm.gamma"
+        )
+    p["final_norm"]["LayerNorm_0"]["scale"] = t("norm.gamma")
+    p["fusion_tokens"] = t("fusion_tokens")
+    p["return_tokens"] = t("return_tokens")
+    p["attn_pool"]["to_q"]["kernel"] = t("attn_pool.to_q.weight").T
+    p["attn_pool"]["to_kv"]["kernel"] = t("attn_pool.to_kv.weight").T
+    p["attn_pool"]["to_out"]["kernel"] = t("attn_pool.to_out.weight").T
+    return {"params": p}
+
+
+@pytest.mark.parametrize("zorro", [False, True])
+def test_full_forward_parity_vs_reference(
+    reference_path, tmp_path, monkeypatch, zorro
+):
+    """Transplant reference weights and require pooled-embedding parity
+    on a batch with missing modalities — pins encoders, masks, layers,
+    pooling end-to-end."""
+    torch = pytest.importorskip("torch")
+    ref_model_mod = _import_reference_model(reference_path)
+    monkeypatch.chdir(tmp_path)  # ref Attention torch.saves a debug file
+
+    widths = {"a": 6, "b": 3, "c": 5, "d": 4}
+    cfg = training_config_from_dict(
+        tiny_config(
+            "tcga",
+            widths=widths,
+            batch_size=4,
+            num_fusion_tokens=22,
+            zorro=zorro,
+        )
+    )
+    mc = get_model_config(cfg)
+    names = list(widths)
+    depth = mc["depth"]
+
+    torch.manual_seed(0)
+    # the reference encoders default embedding_dim=512 independent of
+    # model dim; make it explicit so both sides build the same shapes
+    ref_enc_cfgs = {
+        m: dict(c, embedding_dim=mc["dim"])
+        for m, c in mc["encoder_configs"].items()
+    }
+    ref = ref_model_mod.MCA(
+        encoder_configs=ref_enc_cfgs,
+        dim=mc["dim"],
+        depth=depth,
+        dim_head=mc["dim_head"],
+        heads=mc["heads"],
+        ff_mult=mc["ff_mult"],
+        num_fusion_tokens=mc["num_fusion_tokens"],
+        batch_size=4,
+        fcl=mc["fcl"],
+        fcl_root=mc["fcl_root"],
+        fusion_combos=mc["fusion_combos"],
+        bimodal_contrastive=mc["bimodal_contrastive"],
+        non_fusion_fcl=mc["non_fusion_fcl"],
+        zorro=zorro,
+    )
+    ref.eval()
+
+    ours = build_model(mc)
+    batch_np, _ = make_batch(cfg, n=4, p_missing=0.3, seed=5)
+    batch_jnp = jax.tree.map(jnp.asarray, batch_np)
+    params = jax.jit(ours.init)(jax.random.key(0), batch_jnp)
+    params = _transplant(ref.state_dict(), params, names, depth)
+
+    out_ours = jax.jit(
+        lambda p, b: ours.apply(p, b, no_loss=True)
+    )(params, batch_jnp)
+
+    batch_torch = {
+        m: {
+            k: torch.from_numpy(np.asarray(v))
+            for k, v in fields.items()
+        }
+        for m, fields in batch_np.items()
+    }
+    with torch.no_grad():
+        out_ref = ref(batch_torch, no_loss=True)
+
+    for i, m in enumerate(names):
+        np.testing.assert_allclose(
+            np.asarray(out_ours[m]),
+            out_ref[m].numpy(),
+            atol=2e-4,
+            err_msg=f"modality {m}",
+        )
+    if not zorro:
+        for combo in ref.fusion_combos:
+            np.testing.assert_allclose(
+                np.asarray(out_ours[combo_key(combo)]),
+                out_ref[combo].numpy(),
+                atol=2e-4,
+                err_msg=f"combo {sorted(combo)}",
+            )
+    np.testing.assert_allclose(
+        np.asarray(out_ours["fusion"]),
+        out_ref["fusion"].numpy(),
+        atol=2e-4,
+    )
