@@ -77,13 +77,28 @@ def batch_predrop(
         if cfg.get("dropout")
     }
 
+    def to_arrow_friendly(v: Any) -> Any:
+        if isinstance(v, np.ndarray):
+            return v.tolist()  # pyarrow rejects >1-D ndarrays
+        if isinstance(v, dict):
+            return {k: to_arrow_friendly(x) for k, x in v.items()}
+        return v
+
     def drop(sample: Dict[str, Any]) -> Dict[str, Any]:
         return {
-            k: droppers[k](v) if k in droppers else v
+            k: to_arrow_friendly(
+                droppers[k](v) if k in droppers else v
+            )
             for k, v in sample.items()
         }
 
-    return dataset.map(drop, batched=False)
+    fmt = dataset.format
+    out = dataset.with_format(None).map(drop, batched=False)
+    if fmt and fmt.get("type"):
+        out = out.with_format(fmt["type"])
+    else:
+        out = out.with_format("numpy")
+    return out
 
 
 def setup_data(

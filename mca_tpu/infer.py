@@ -107,7 +107,11 @@ def load_embedding_file(path_stem: str) -> Dict[Any, np.ndarray]:
 
 def infer(config: Config) -> str:
     assert config.restart, "inference needs config.restart -> checkpoint"
-    mesh = make_mesh(config.mesh_data, config.mesh_model)
+    mesh = make_mesh(
+        config.mesh_data,
+        config.mesh_model,
+        batch_size=config.batch_size,
+    )
     model_config = get_model_config(config)
     model = build_model(model_config)
     mc = (

@@ -181,7 +181,10 @@ class MCA(nn.Module):
         x = jnp.concatenate(tokens, axis=1)
         padding = jnp.concatenate(pad_masks, axis=1)
 
-        attn_mask = jnp.asarray(self.mask_set.attn_mask)
+        # keep the mask as STATIC numpy: the Pallas path derives its
+        # block-sparse tile schedule from it at trace time; the dense
+        # path converts it to a jit constant internally
+        attn_mask = self.mask_set.attn_mask
         dtype = _dtype_of(self.precision)
         x = x.astype(dtype)
         for layer in self.layers:

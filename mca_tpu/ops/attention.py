@@ -74,7 +74,20 @@ def masked_attention(
     key_padding_mask: Optional[Array] = None,
     impl: str = "dense",
 ) -> Array:
-    """Dispatch between the dense oracle and the Pallas flash kernel."""
+    """Dispatch between the dense oracle and the Pallas flash kernel.
+
+    ``impl='auto'`` picks the Pallas kernel on TPU backends when the
+    mask is static (a numpy array — required to derive the tile
+    schedule at trace time), the dense path otherwise.
+    """
+    import numpy as np
+
+    if impl == "auto":
+        static_mask = attn_mask is None or isinstance(
+            attn_mask, np.ndarray
+        )
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        impl = "pallas" if (static_mask and on_tpu) else "dense"
     if impl == "pallas":
         from mca_tpu.ops.flash_attention import flash_masked_attention
 
@@ -86,6 +99,8 @@ def masked_attention(
             attn_mask=attn_mask,
             key_padding_mask=key_padding_mask,
         )
+    if attn_mask is not None:
+        attn_mask = jnp.asarray(attn_mask)
     return dense_masked_attention(
         q,
         k,

@@ -1,0 +1,524 @@
+"""Block-sparse flash attention for the MCA/Zorro masks (Pallas, TPU).
+
+The reference materialises dense [B, H, T, T] score tensors
+(ref model.py:88-99) — at the canonical packed length T≈2548 that is
+~1.7 GB of fp32 traffic per layer per direction, and the attention is
+HBM-bound.  This kernel computes the same masked softmax-attention in
+O(T) memory with an online softmax, AND skips work using the static
+block structure of the zorro/MCA masks (modality-diagonal blocks plus
+fusion-channel rows): only tiles with at least one unmasked entry are
+visited, enumerated in CSR order at trace time from the numpy mask
+(``mca_tpu.masks.block_mask_info`` computes the same tile map).
+
+Semantics (matching ``mca_tpu.ops.attention.dense_masked_attention``):
+
+- ``attn_mask`` [T, T] bool, True = blocked, STATIC (numpy, shared
+  across batch & heads) — baked into the tile schedule;
+- ``key_padding_mask`` [B, T] bool, True = padded, dynamic;
+- fully-masked query rows return **zeros** (the dense path yields a
+  uniform average over all keys there because masked scores are set to
+  the finite fp32 min; such rows only exist at padded positions whose
+  outputs are never consumed — see tests/test_flash_attention.py).
+
+Forward and backward are Pallas kernels (custom_vjp): dq uses the same
+q-major tile order as the forward; dk/dv a kv-major reordering of the
+same tile set, so the backward is block-sparse too.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _pad_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _tile_schedule(
+    mask: np.ndarray, block_q: int, block_k: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int, int]:
+    """CSR tile enumeration of the static mask.
+
+    Returns (q_of_tile, kv_of_tile) in q-major order and
+    (q_of_tile2, kv_of_tile2) in kv-major order, plus padded block
+    counts (nq, nk).  Padded region is fully blocked.
+    """
+    t = mask.shape[0]
+    tq, tk = _pad_to(t, block_q), _pad_to(t, block_k)
+    padded = np.ones((tq, tk), dtype=bool)
+    padded[:t, :t] = mask
+    nq, nk = tq // block_q, tk // block_k
+    tiles = padded.reshape(nq, block_q, nk, block_k)
+    active = ~tiles.all(axis=(1, 3))  # [nq, nk] tile has any unmasked
+    qs, ks = np.nonzero(active)  # row-major == q-major order
+    order2 = np.lexsort((qs, ks))  # kv-major order
+    return (
+        qs.astype(np.int32),
+        ks.astype(np.int32),
+        qs[order2].astype(np.int32),
+        ks[order2].astype(np.int32),
+        nq,
+        nk,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    # scalar prefetch
+    q_of, kv_of,
+    # inputs
+    q_ref, k_ref, v_ref, mask_ref, pad_ref,
+    # outputs
+    out_ref, lse_ref,
+    # scratch
+    m_scr, l_scr, acc_scr,
+    *, scale: float,
+):
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+    prev_q = q_of[jnp.maximum(t - 1, 0)]
+    next_q = q_of[jnp.minimum(t + 1, nt - 1)]
+    is_first = jnp.logical_or(t == 0, q_of[t] != prev_q)
+    is_last = jnp.logical_or(t == nt - 1, q_of[t] != next_q)
+
+    @pl.when(is_first)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)  # [bq, d]
+    k = k_ref[0].astype(jnp.float32)  # [bk, d]
+    v = v_ref[0].astype(jnp.float32)  # [bk, d]
+    s = (
+        jax.lax.dot_general(
+            q, k,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )  # [bq, bk]
+    blocked = (mask_ref[:] != 0) | (pad_ref[0][:1, :] != 0)
+    s = jnp.where(blocked, NEG_INF, s)
+
+    m_prev = m_scr[:][:, :1]  # [bq, 1]
+    l_prev = l_scr[:][:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    # keep fully-masked rows finite: exp(NEG_INF - NEG_INF) would be 1
+    p = jnp.exp(s - m_new)
+    p = jnp.where(blocked, 0.0, p)
+    correction = jnp.exp(m_prev - m_new)
+    l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * correction + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(is_last)
+    def _():
+        l = l_scr[:][:, :1]
+        out = jnp.where(l > 0, acc_scr[:] / jnp.where(l > 0, l, 1.0), 0.0)
+        out_ref[0] = out.astype(out_ref.dtype)
+        m = m_scr[:][:, :1]
+        lse = jnp.where(
+            l > 0, m + jnp.log(jnp.where(l > 0, l, 1.0)), NEG_INF
+        )
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _dq_kernel(
+    q_of, kv_of,
+    q_ref, k_ref, v_ref, mask_ref, pad_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_scr,
+    *, scale: float,
+):
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+    is_first = jnp.logical_or(
+        t == 0, q_of[t] != q_of[jnp.maximum(t - 1, 0)]
+    )
+    is_last = jnp.logical_or(
+        t == nt - 1, q_of[t] != q_of[jnp.minimum(t + 1, nt - 1)]
+    )
+
+    @pl.when(is_first)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, :1]  # [bq, 1]
+    delta = delta_ref[0][:, :1]
+    s = (
+        jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+    blocked = (mask_ref[:] != 0) | (pad_ref[0][:1, :] != 0)
+    s = jnp.where(blocked, NEG_INF, s)
+    p = jnp.exp(s - lse)
+    p = jnp.where(blocked, 0.0, p)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)
+    dq_scr[:] = dq_scr[:] + scale * jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(is_last)
+    def _():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    q_of, kv_of,
+    q_ref, k_ref, v_ref, mask_ref, pad_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, scale: float,
+):
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+    is_first = jnp.logical_or(
+        t == 0, kv_of[t] != kv_of[jnp.maximum(t - 1, 0)]
+    )
+    is_last = jnp.logical_or(
+        t == nt - 1, kv_of[t] != kv_of[jnp.minimum(t + 1, nt - 1)]
+    )
+
+    @pl.when(is_first)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
+    s = (
+        jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+    blocked = (mask_ref[:] != 0) | (pad_ref[0][:1, :] != 0)
+    s = jnp.where(blocked, NEG_INF, s)
+    p = jnp.exp(s - lse)
+    p = jnp.where(blocked, 0.0, p)
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)
+    dk_scr[:] = dk_scr[:] + scale * jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(is_last)
+    def _():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrappers
+# ---------------------------------------------------------------------------
+
+
+def _prep_mask(
+    attn_mask: np.ndarray, block_q: int, block_k: int
+) -> np.ndarray:
+    t = attn_mask.shape[0]
+    tq, tk = _pad_to(t, block_q), _pad_to(t, block_k)
+    padded = np.ones((tq, tk), dtype=np.int8)
+    padded[:t, :t] = attn_mask.astype(np.int8)
+    return padded
+
+
+def make_flash_attention(
+    attn_mask: np.ndarray,
+    *,
+    scale: float,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+):
+    """Build a flash-attention fn for one static mask.
+
+    Returns ``fn(q, k, v, key_padding_mask) -> out`` with
+    q/k/v ``[B, H, T, D]`` and key_padding_mask ``[B, T]`` bool or None.
+    Differentiable via custom_vjp (block-sparse backward).
+    """
+    assert attn_mask.ndim == 2 and attn_mask.shape[0] == attn_mask.shape[1]
+    t_real = attn_mask.shape[0]
+    mask8 = _prep_mask(np.asarray(attn_mask, bool), block_q, block_k)
+    q_of, kv_of, q_of2, kv_of2, nq, nk = _tile_schedule(
+        np.asarray(attn_mask, bool), block_q, block_k
+    )
+    n_tiles = len(q_of)
+    tq, tk = nq * block_q, nk * block_k
+
+    def _pad_qkv(x):
+        return jnp.pad(x, ((0, 0), (0, tq - t_real), (0, 0)))
+
+    def _pad_keymask(pad, b):
+        if pad is None:
+            pad2 = jnp.zeros((b, tk), jnp.int8)
+        else:
+            pad2 = jnp.pad(
+                pad.astype(jnp.int8),
+                ((0, 0), (0, tk - t_real)),
+                constant_values=1,
+            )
+        # [B, 8, tk]: TPU blocks need the second-to-last dim >= 8; the
+        # 8 rows are identical broadcast copies
+        return jnp.broadcast_to(pad2[:, None, :], (b, 8, tk))
+
+    def _fwd_call(q, k, v, pad8, h):
+        bh = q.shape[0]
+        grid = (bh, n_tiles)
+        out, lse = pl.pallas_call(
+            functools.partial(_fwd_kernel, scale=scale),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, block_q, q.shape[-1]),
+                        lambda b, t, qo, ko: (b, qo[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, block_k, k.shape[-1]),
+                        lambda b, t, qo, ko: (b, ko[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, block_k, v.shape[-1]),
+                        lambda b, t, qo, ko: (b, ko[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (block_q, block_k),
+                        lambda b, t, qo, ko: (qo[t], ko[t]),
+                    ),
+                    pl.BlockSpec(
+                        (1, 8, block_k),
+                        lambda b, t, qo, ko: (b // h, 0, ko[t]),
+                    ),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (1, block_q, q.shape[-1]),
+                        lambda b, t, qo, ko: (b, qo[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, block_q, 8),
+                        lambda b, t, qo, ko: (b, qo[t], 0),
+                    ),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((block_q, 128), jnp.float32),
+                    pltpu.VMEM((block_q, 128), jnp.float32),
+                    pltpu.VMEM((block_q, q.shape[-1]), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, tq, q.shape[-1]), q.dtype),
+                jax.ShapeDtypeStruct((bh, tq, 8), jnp.float32),
+            ],
+            interpret=interpret,
+        )(jnp.asarray(q_of), jnp.asarray(kv_of), q, k, v,
+          jnp.asarray(mask8), pad8)
+        return out, lse[:, :, 0]
+
+    def _bwd_call(q, k, v, pad8, do, lse, delta, h):
+        bh = q.shape[0]
+        d = q.shape[-1]
+        lse = jnp.broadcast_to(lse[:, :, None], (bh, tq, 8))
+        delta = jnp.broadcast_to(delta[:, :, None], (bh, tq, 8))
+
+        common_in_specs = [
+            pl.BlockSpec(
+                (1, block_q, d), lambda b, t, qo, ko: (b, qo[t], 0)
+            ),
+            pl.BlockSpec(
+                (1, block_k, d), lambda b, t, qo, ko: (b, ko[t], 0)
+            ),
+            pl.BlockSpec(
+                (1, block_k, d), lambda b, t, qo, ko: (b, ko[t], 0)
+            ),
+            pl.BlockSpec(
+                (block_q, block_k),
+                lambda b, t, qo, ko: (qo[t], ko[t]),
+            ),
+            pl.BlockSpec(
+                (1, 8, block_k),
+                lambda b, t, qo, ko: (b // h, 0, ko[t]),
+            ),
+            pl.BlockSpec(
+                (1, block_q, d), lambda b, t, qo, ko: (b, qo[t], 0)
+            ),
+            pl.BlockSpec(
+                (1, block_q, 8),
+                lambda b, t, qo, ko: (b, qo[t], 0),
+            ),
+            pl.BlockSpec(
+                (1, block_q, 8),
+                lambda b, t, qo, ko: (b, qo[t], 0),
+            ),
+        ]
+        dq = pl.pallas_call(
+            functools.partial(_dq_kernel, scale=scale),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(bh, n_tiles),
+                in_specs=common_in_specs,
+                out_specs=[
+                    pl.BlockSpec(
+                        (1, block_q, d),
+                        lambda b, t, qo, ko: (b, qo[t], 0),
+                    ),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((block_q, d), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, tq, d), q.dtype)
+            ],
+            interpret=interpret,
+        )(jnp.asarray(q_of), jnp.asarray(kv_of), q, k, v,
+          jnp.asarray(mask8), pad8, do, lse, delta)[0]
+
+        dk, dv = pl.pallas_call(
+            functools.partial(_dkv_kernel, scale=scale),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(bh, n_tiles),
+                in_specs=common_in_specs,
+                out_specs=[
+                    pl.BlockSpec(
+                        (1, block_k, d),
+                        lambda b, t, qo, ko: (b, ko[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, block_k, d),
+                        lambda b, t, qo, ko: (b, ko[t], 0),
+                    ),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((block_k, d), jnp.float32),
+                    pltpu.VMEM((block_k, d), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, tk, d), q.dtype),
+                jax.ShapeDtypeStruct((bh, tk, d), q.dtype),
+            ],
+            interpret=interpret,
+        )(jnp.asarray(q_of2), jnp.asarray(kv_of2), q, k, v,
+          jnp.asarray(mask8), pad8, do, lse, delta)
+        return dq, dk, dv
+
+    @jax.custom_vjp
+    def flash(q, k, v, key_padding_mask):
+        out, _ = _flash_fwd(q, k, v, key_padding_mask)
+        return out
+
+    def _flash_fwd(q, k, v, key_padding_mask):
+        b, h, t, d = q.shape
+        qf = _pad_qkv(q.reshape(b * h, t, d))
+        kf = _pad_qkv(k.reshape(b * h, t, d))
+        vf = _pad_qkv(v.reshape(b * h, t, d))
+        pad8 = _pad_keymask(key_padding_mask, b)
+        out, lse = _fwd_call(qf, kf, vf, pad8, h)
+        res = (qf, kf, vf, pad8, out, lse, (b, h, t, d))
+        return out[:, :t].reshape(b, h, t, d), res
+
+    def _flash_bwd(res, g):
+        qf, kf, vf, pad8, out, lse, (b, h, t, d) = res
+        do = _pad_qkv(g.reshape(b * h, t, d))
+        delta = jnp.sum(
+            do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+        )  # [bh, tq]
+        dq, dk, dv = _bwd_call(qf, kf, vf, pad8, do, lse, delta, h)
+        unpad = lambda x: x[:, :t].reshape(b, h, t, d)
+        return unpad(dq), unpad(dk), unpad(dv), None
+
+    flash.defvjp(_flash_fwd, _flash_bwd)
+    return flash
+
+
+# Per-mask cache: tracing rebuilds are cheap but kernel construction is
+# deterministic per (mask bytes, scale, blocks); avoid re-deriving the
+# tile schedule on every jit trace.
+_CACHE = {}
+
+
+def flash_masked_attention(
+    q,
+    k,
+    v,
+    *,
+    scale: float,
+    attn_mask: Optional[np.ndarray] = None,
+    key_padding_mask=None,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+):
+    """Drop-in for dense_masked_attention with a STATIC numpy mask."""
+    if attn_mask is None:
+        attn_mask = np.zeros((q.shape[2], q.shape[2]), bool)
+    attn_mask = np.asarray(attn_mask, bool)
+    key = (
+        attn_mask.tobytes(),
+        attn_mask.shape,
+        float(scale),
+        block_q,
+        block_k,
+        interpret,
+    )
+    if key not in _CACHE:
+        _CACHE[key] = make_flash_attention(
+            attn_mask,
+            scale=scale,
+            block_q=block_q,
+            block_k=block_k,
+            interpret=interpret,
+        )
+    return _CACHE[key](q, k, v, key_padding_mask)

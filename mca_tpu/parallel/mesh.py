@@ -27,12 +27,19 @@ def make_mesh(
     data: int = 0,
     model: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    batch_size: Optional[int] = None,
 ) -> Mesh:
-    """('data', 'model') mesh; ``data=0`` means all remaining devices."""
+    """('data', 'model') mesh; ``data=0`` means as many devices as fit.
+
+    With ``batch_size`` given, the auto data axis is clamped to the
+    largest divisor of the batch so small runs shard cleanly.
+    """
     devices = list(devices if devices is not None else jax.devices())
     if data in (0, None):
-        assert len(devices) % model == 0
-        data = len(devices) // model
+        data = max(len(devices) // model, 1)
+        if batch_size is not None:
+            while batch_size % data:
+                data -= 1
     assert data * model <= len(devices), (
         f"mesh {data}x{model} > {len(devices)} devices"
     )

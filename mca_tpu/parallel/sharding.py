@@ -29,21 +29,31 @@ _RULES = [
 ]
 
 
-def _spec_for_path(path) -> P:
+def _spec_for_path(path, shape, mesh: Mesh) -> P:
     parts = tuple(
         getattr(k, "key", getattr(k, "name", str(k))) for k in path
     )
     for suffix, spec in _RULES:
         for i in range(len(parts) - len(suffix) + 1):
             if parts[i : i + len(suffix)] == suffix:
-                return spec
+                # shard only if every named axis divides its dimension
+                # (e.g. the GEGLU inner dim int(dim*mult*2/3) is often
+                # odd — those matrices stay replicated)
+                ok = all(
+                    axis is None
+                    or shape[d] % mesh.shape[axis] == 0
+                    for d, axis in enumerate(spec)
+                )
+                return spec if ok else P()
     return P()
 
 
 def param_shardings(params: Any, mesh: Mesh) -> Any:
     """NamedSharding pytree matching ``params`` under the TP rules."""
     return jax.tree_util.tree_map_with_path(
-        lambda path, _: NamedSharding(mesh, _spec_for_path(path)),
+        lambda path, leaf: NamedSharding(
+            mesh, _spec_for_path(path, leaf.shape, mesh)
+        ),
         params,
     )
 

@@ -297,7 +297,11 @@ def run_eval_epoch(
 
 def train(config: Config) -> str:
     """Run pretraining; returns the output directory."""
-    mesh = make_mesh(config.mesh_data, config.mesh_model)
+    mesh = make_mesh(
+        config.mesh_data,
+        config.mesh_model,
+        batch_size=config.batch_size,
+    )
     model_config = get_model_config(config)
     model = build_model(model_config)
 

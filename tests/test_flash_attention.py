@@ -1,0 +1,149 @@
+"""Flash-attention kernel vs the dense oracle (interpret mode on CPU).
+
+Covers: block-sparse MCA masks, dynamic key padding, fully-masked rows
+(flash returns zeros there — the documented deviation; those rows are
+compared only where the dense path's value is consumed), non-multiple
+sequence lengths, bf16 inputs, and gradients through custom_vjp.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mca_tpu import masks as M
+from mca_tpu.ops.attention import dense_masked_attention
+from mca_tpu.ops.flash_attention import flash_masked_attention
+
+SCALE = 0.125
+
+
+def _rand_qkv(rng, b, h, t, d, dtype=np.float32):
+    q = rng.normal(size=(b, h, t, d)).astype(dtype)
+    k = rng.normal(size=(b, h, t, d)).astype(dtype)
+    v = rng.normal(size=(b, h, t, d)).astype(dtype)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+def _compare(q, k, v, mask, pad, atol=2e-5, block=64):
+    dense = dense_masked_attention(
+        q, k, v, scale=SCALE,
+        attn_mask=jnp.asarray(mask) if mask is not None else None,
+        key_padding_mask=jnp.asarray(pad) if pad is not None else None,
+    )
+    flash = flash_masked_attention(
+        q, k, v, scale=SCALE, attn_mask=mask,
+        key_padding_mask=jnp.asarray(pad) if pad is not None else None,
+        block_q=block, block_k=block, interpret=True,
+    )
+    # rows that are fully masked differ by design (dense: uniform
+    # average over everything; flash: zeros) -> compare only live rows
+    t = q.shape[2]
+    if mask is not None or pad is not None:
+        blocked = np.zeros((q.shape[0], t, t), bool)
+        if mask is not None:
+            blocked |= np.asarray(mask)[None]
+        if pad is not None:
+            blocked |= np.asarray(pad)[:, None, :]
+        live = ~blocked.all(axis=2)  # [B, T]
+    else:
+        live = np.ones((q.shape[0], t), bool)
+    d_np, f_np = np.asarray(dense), np.asarray(flash)
+    for b in range(q.shape[0]):
+        np.testing.assert_allclose(
+            f_np[b, :, live[b]], d_np[b, :, live[b]], atol=atol
+        )
+        dead = ~live[b]
+        if dead.any():
+            assert (f_np[b, :, dead] == 0).all()
+    return dense, flash
+
+
+def test_no_mask_matches_dense(rng):
+    q, k, v = _rand_qkv(rng, 2, 2, 128, 64)
+    _compare(q, k, v, None, None)
+
+
+def test_nonmultiple_seq_len(rng):
+    q, k, v = _rand_qkv(rng, 1, 2, 100, 64)  # 100 % 64 != 0
+    _compare(q, k, v, None, None)
+
+
+def test_mca_mask_block_sparse(rng):
+    ms = M.build_masks([96, 64, 96], 70, [3, 2, 1])
+    t = ms.seq_len
+    q, k, v = _rand_qkv(rng, 2, 2, t, 64)
+    _compare(q, k, v, ms.attn_mask, None)
+
+
+def test_padding_and_missing_modality(rng):
+    ms = M.build_masks([96, 64, 96], 70, [3, 2, 1])
+    t = ms.seq_len
+    q, k, v = _rand_qkv(rng, 2, 2, t, 64)
+    pad = np.zeros((2, t), bool)
+    pad[0, :96] = True  # modality 0 fully missing in sample 0
+    pad[1, 96 + 30 : 96 + 64] = True  # partial padding in sample 1
+    _compare(q, k, v, ms.attn_mask, pad)
+
+
+def test_bf16(rng):
+    ms = M.build_masks([64, 64], 33, [2, 1])
+    t = ms.seq_len
+    q, k, v = _rand_qkv(rng, 1, 2, t, 64)
+    q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    _compare(q, k, v, ms.attn_mask, None, atol=3e-2)
+
+
+def test_gradients_match_dense(rng):
+    ms = M.build_masks([96, 64], 66, [2, 1])
+    t = ms.seq_len
+    q, k, v = _rand_qkv(rng, 2, 2, t, 64)
+    pad = np.zeros((2, t), bool)
+    pad[0, 96:130] = True
+    pad_j = jnp.asarray(pad)
+    mask_j = jnp.asarray(ms.attn_mask)
+
+    # scalar objective that only consumes LIVE rows (padded-row outputs
+    # are implementation-defined and never consumed by the model)
+    blocked = np.asarray(ms.attn_mask)[None] | pad[:, None, :]
+    live = jnp.asarray(~blocked.all(axis=2))  # [B, T]
+    w = jnp.asarray(
+        rng.normal(size=(2, 2, t, 64)).astype(np.float32)
+    )
+
+    def obj_dense(q, k, v):
+        o = dense_masked_attention(
+            q, k, v, scale=SCALE, attn_mask=mask_j,
+            key_padding_mask=pad_j,
+        )
+        return (o * w * live[:, None, :, None]).sum()
+
+    def obj_flash(q, k, v):
+        o = flash_masked_attention(
+            q, k, v, scale=SCALE, attn_mask=ms.attn_mask,
+            key_padding_mask=pad_j, block_q=64, block_k=64,
+            interpret=True,
+        )
+        return (o * w * live[:, None, :, None]).sum()
+
+    gd = jax.grad(obj_dense, argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(obj_flash, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", gd, gf):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_tile_schedule_skips_blocked_tiles():
+    from mca_tpu.ops.flash_attention import _tile_schedule
+
+    ms = M.build_masks([64, 64, 64], 32, [3, 1])
+    q_of, kv_of, q2, kv2, nq, nk = _tile_schedule(
+        ms.attn_mask, 64, 64
+    )
+    assert len(q_of) < nq * nk  # sparsity actually exploited
+    # q-major sorted; kv-major variant hits the same tile set
+    assert sorted(zip(q_of.tolist(), kv_of.tolist())) == sorted(
+        zip(q2.tolist(), kv2.tolist())
+    )

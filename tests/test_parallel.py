@@ -1,0 +1,114 @@
+"""Distributed-correctness pins on the virtual 8-device CPU mesh.
+
+- the jit-over-sharded-batch training loss equals the single-device
+  loss on the same global batch (XLA-partitioner path);
+- a full train step under DP+TP shardings matches the unsharded step;
+- parameter sharding rules put attention/FF matrices on the model axis.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mca_tpu.config import get_model_config, training_config_from_dict
+from mca_tpu.data.collators import MultimodalCollator
+from mca_tpu.data.synthetic import make_tcga_like, tiny_config
+from mca_tpu.models import build_model
+from mca_tpu.parallel.mesh import make_mesh, shard_batch
+from mca_tpu.parallel.sharding import param_shardings, shard_params
+from mca_tpu.train import (
+    hf_lr_schedule,
+    init_state,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def _setup(batch_size=8):
+    cfg = training_config_from_dict(
+        tiny_config("tcga", batch_size=batch_size)
+    )
+    model = build_model(get_model_config(cfg))
+    widths = {m: c["pad_len"] for m, c in cfg.modality_config.items()}
+    samples = make_tcga_like(
+        batch_size, widths=widths, p_missing=0.25, seed=0
+    )
+    batch = MultimodalCollator(cfg.modality_config.to_plain())(samples)
+    return cfg, model, batch
+
+
+def test_sharded_loss_equals_single_device():
+    cfg, model, batch = _setup()
+    batch_j = jax.tree.map(jnp.asarray, batch)
+    params = jax.jit(model.init)(jax.random.key(0), batch_j)
+    single = float(
+        jax.jit(lambda p, b: model.apply(p, b)["loss"])(
+            params, batch_j
+        )
+    )
+    mesh = make_mesh(8, 1)
+    sharded_batch = shard_batch(batch, mesh)
+    sharded_params = shard_params(params, mesh)
+    multi = float(
+        jax.jit(lambda p, b: model.apply(p, b)["loss"])(
+            sharded_params, sharded_batch
+        )
+    )
+    np.testing.assert_allclose(multi, single, rtol=1e-5)
+
+
+def test_train_step_dp_tp_matches_unsharded():
+    cfg, model, batch = _setup()
+    tx = make_optimizer(cfg, 10)
+    schedule = hf_lr_schedule(
+        cfg.lr_scheduler_type, cfg.lr, cfg.num_warmup_steps, 10
+    )
+    step = make_train_step(model, tx, schedule)
+
+    batch_j = jax.tree.map(jnp.asarray, batch)
+    state = init_state(model, tx, batch_j, seed=0)
+    ref_params = jax.tree.map(np.copy, state["params"])
+    state1, metrics1 = step(state, batch_j)
+
+    mesh = make_mesh(4, 2)
+    state2 = {
+        "params": shard_params(
+            jax.tree.map(jnp.asarray, ref_params), mesh
+        ),
+        "opt_state": tx.init(
+            shard_params(jax.tree.map(jnp.asarray, ref_params), mesh)
+        ),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    state2, metrics2 = step(state2, shard_batch(batch, mesh))
+    np.testing.assert_allclose(
+        float(metrics2["total_loss"]),
+        float(metrics1["total_loss"]),
+        rtol=1e-5,
+    )
+    # updated parameters agree leaf-by-leaf
+    flat1 = jax.tree.leaves(jax.device_get(state1["params"]))
+    flat2 = jax.tree.leaves(jax.device_get(state2["params"]))
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
+        )
+
+
+def test_param_sharding_rules():
+    cfg, model, batch = _setup(batch_size=4)
+    batch_j = jax.tree.map(jnp.asarray, batch)
+    params = jax.jit(model.init)(jax.random.key(0), batch_j)
+    mesh = make_mesh(4, 2)
+    shardings = param_shardings(params, mesh)
+    flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+    n_model_sharded = 0
+    for path, sharding in flat:
+        name = jax.tree_util.keystr(path)
+        spec = sharding.spec
+        if "attn" in name and "kernel" in name and "pool" not in name:
+            assert "model" in str(spec), (name, spec)
+            n_model_sharded += 1
+        elif "embedding" in name:
+            assert spec == jax.sharding.PartitionSpec(), (name, spec)
+    assert n_model_sharded >= cfg.layers * 3
