@@ -23,6 +23,46 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 
+class BatchDropout:
+    """In-batch whole-modality dropout (ref utils/dataset.py:5-26).
+
+    Overwrites the given fields of a random ``dropout`` fraction of the
+    batch rows with constants (e.g. attention mask -> 1 = padded).  The
+    reference kept this variant dormant (referenced only in
+    commented-out collator code, ref encoders.py:382-396); here it is a
+    live alternative to offline predrop for on-the-fly fault injection.
+    """
+
+    def __init__(
+        self,
+        kvs: Optional[Dict[str, Any]] = None,
+        dropout: float = 0.1,
+        random_seed: int = 42,
+    ):
+        self.kvs = kvs or {"attention_mask": 1, "tokens": 0}
+        assert self.kvs
+        self.dropout = float(dropout)
+        self.rng = np.random.default_rng(random_seed)
+
+    def __call__(
+        self, batch_mode: Dict[str, np.ndarray]
+    ) -> Dict[str, np.ndarray]:
+        assert set(self.kvs) <= set(batch_mode), (
+            f"{set(self.kvs)} not all in {set(batch_mode)}"
+        )
+        nb = next(iter(batch_mode.values())).shape[0]
+        size = int(nb * self.dropout)
+        if size == 0:
+            return batch_mode
+        idx = self.rng.permutation(nb)[:size]
+        out = dict(batch_mode)
+        for k, v in self.kvs.items():
+            arr = np.array(out[k], copy=True)
+            arr[idx] = v
+            out[k] = arr
+        return out
+
+
 class BatchPreDropout:
     """Whole-modality dropout for one modality (ref utils/dataset.py:29-57)."""
 
