@@ -62,29 +62,53 @@ class SequenceCollator:
     def __call__(
         self, data: Dict[str, List[Any]]
     ) -> Dict[str, np.ndarray]:
-        rows = [
-            _to_numpy(x) if x is not None else np.zeros((0,), np.float32)
-            for x in data[self.data_col_name]
-        ]
-        b = len(rows)
-        out = np.full((b, self.pad_len), self.pad_token, dtype=np.float32)
-        for i, r in enumerate(rows):
-            r = r.reshape(-1)[: self.pad_len]
-            out[i, : r.shape[0]] = r
-        collated: Dict[str, np.ndarray] = {self.data_col_name: out}
-        if self.attn_mask:
-            collated["attention_mask"] = (out == self.pad_token).astype(
-                np.int64
+        from mca_tpu import native
+
+        rows = [_to_numpy(x) for x in data[self.data_col_name]]
+        if native.available():
+            out, mask = native.pad_rows(
+                rows,
+                self.pad_len,
+                self.pad_token,
+                with_mask=self.attn_mask,
             )
-        if self.other_col in data:
-            other = np.zeros((b, self.pad_len), dtype=np.float32)
-            for i, x in enumerate(data[self.other_col]):
-                r = _to_numpy(x)
-                if r is None:
-                    continue
+            collated: Dict[str, np.ndarray] = {
+                self.data_col_name: out
+            }
+            if self.attn_mask:
+                collated["attention_mask"] = mask
+        else:
+            rows = [
+                r if r is not None else np.zeros((0,), np.float32)
+                for r in rows
+            ]
+            b = len(rows)
+            out = np.full(
+                (b, self.pad_len), self.pad_token, dtype=np.float32
+            )
+            for i, r in enumerate(rows):
                 r = r.reshape(-1)[: self.pad_len]
-                other[i, : r.shape[0]] = r
-            collated[self.other_col] = other
+                out[i, : r.shape[0]] = r
+            collated = {self.data_col_name: out}
+            if self.attn_mask:
+                collated["attention_mask"] = (
+                    out == self.pad_token
+                ).astype(np.int64)
+        if self.other_col in data:
+            other_rows = [_to_numpy(x) for x in data[self.other_col]]
+            if native.available():
+                collated[self.other_col] = native.pad_rows_fill(
+                    other_rows, self.pad_len, 0.0
+                )
+            else:
+                b = len(other_rows)
+                other = np.zeros((b, self.pad_len), dtype=np.float32)
+                for i, r in enumerate(other_rows):
+                    if r is None:
+                        continue
+                    r = r.reshape(-1)[: self.pad_len]
+                    other[i, : r.shape[0]] = r
+                collated[self.other_col] = other
         return collated
 
 
@@ -115,6 +139,8 @@ class EmbeddedSequenceCollator:
     def __call__(
         self, data: Dict[str, List[Any]]
     ) -> Dict[str, np.ndarray]:
+        from mca_tpu import native
+
         rows = [
             _to_numpy(x)
             if x is not None
@@ -123,18 +149,28 @@ class EmbeddedSequenceCollator:
         ]
         if self.truncate:
             rows = [r[: self.pad_len] for r in rows]
-        if self.clean:
-            rows = [np.nan_to_num(r) for r in rows]
-        b = len(rows)
-        emb = rows[0].shape[-1] if rows else self.embedding_size
-        tokens = np.full(
-            (b, self.pad_len, emb), self.fill_value, dtype=np.float32
+        emb = next(
+            (r.shape[-1] for r in rows if r.size), self.embedding_size
         )
-        mask = np.ones((b, self.pad_len), dtype=bool)
-        for i, r in enumerate(rows):
-            t = r.shape[0]
-            tokens[i, :t] = r
-            mask[i, :t] = False
+        if native.available():
+            tokens, mask = native.pad_seq2d(
+                rows, self.pad_len, emb, self.fill_value,
+                clean=self.clean,
+            )
+        else:
+            if self.clean:
+                rows = [np.nan_to_num(r) for r in rows]
+            b = len(rows)
+            tokens = np.full(
+                (b, self.pad_len, emb),
+                self.fill_value,
+                dtype=np.float32,
+            )
+            mask = np.ones((b, self.pad_len), dtype=bool)
+            for i, r in enumerate(rows):
+                t = r.shape[0]
+                tokens[i, :t] = r
+                mask[i, :t] = False
         out: Dict[str, np.ndarray] = {"tokens": tokens}
         if self.attn_mask:
             out["attention_mask"] = mask
