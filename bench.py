@@ -36,7 +36,7 @@ def main() -> None:
         hf_lr_schedule,
         init_state,
         make_optimizer,
-        make_train_step,
+        make_train_step_scan,
     )
     import __graft_entry__ as ge
 
@@ -54,18 +54,28 @@ def main() -> None:
         cfg.lr_scheduler_type, cfg.lr, cfg.num_warmup_steps, 1000
     )
     state = init_state(model, tx, batch, seed=0)
-    train_step = make_train_step(model, tx, schedule)
+    # K steps per launch (lax.scan) — the production loop's shape; on
+    # remote-attached chips single-step launches are dominated by
+    # dispatch latency
+    K = 10
+    train_steps = make_train_step_scan(model, tx, schedule)
+
+    stacked = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (K,) + x.shape), batch
+    )
 
     # compile + warmup
-    state, metrics = train_step(state, batch)
+    state, metrics = train_steps(state, stacked)
     jax.block_until_ready(metrics["total_loss"])
 
-    n_steps = 20
+    n_calls = 2
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = train_step(state, batch)
+    for _ in range(n_calls):
+        state, metrics = train_steps(state, stacked)
     jax.block_until_ready(metrics["total_loss"])
+    n_steps = n_calls * K
     dt = (time.perf_counter() - t0) / n_steps
+    metrics = jax.tree.map(lambda x: x[-1], jax.device_get(metrics))
 
     seq_len = sum(widths.values()) + cfg.num_fusion_tokens
     tokens_per_step = cfg.batch_size * seq_len

@@ -139,6 +139,7 @@ def get_cfg_defaults_train() -> Config:
             "mesh_data": 0,              # 0 = use all devices on the data axis
             "mesh_model": 1,             # tensor-parallel axis size
             "log_every": 1,              # JSONL log cadence (steps)
+            "steps_per_call": 0,         # optimiser steps per launch (0 = auto)
             "checkpoint_keep": 0,        # 0 = keep all epoch checkpoints
         }
     )

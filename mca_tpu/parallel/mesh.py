@@ -56,9 +56,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Device-put a (nested dict) numpy batch, sharded along 'data'."""
-    sharding = batch_sharding(mesh)
+def shard_batch(batch, mesh: Mesh, leading_scan_axis: bool = False):
+    """Device-put a (nested dict) numpy batch, sharded along 'data'.
+
+    ``leading_scan_axis=True`` for stacked multi-step batches
+    ``[K, B, ...]``: the scan axis stays unsharded, the batch axis
+    shards over 'data'.
+    """
+    spec = P(None, "data") if leading_scan_axis else P("data")
+    sharding = NamedSharding(mesh, spec)
     return jax.tree.map(
         lambda x: jax.device_put(x, sharding), batch
     )

@@ -160,44 +160,78 @@ def init_state(
     }
 
 
+def _step_body(model, tx, schedule, state, batch):
+    """grads + update + metric scalars for one batch."""
+
+    def loss_fn(params):
+        out = model.apply(params, batch)
+        return out["loss"], out
+
+    (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state["params"]
+    )
+    updates, opt_state = tx.update(
+        grads, state["opt_state"], state["params"]
+    )
+    params = optax.apply_updates(state["params"], updates)
+    new_state = {
+        "params": params,
+        "opt_state": opt_state,
+        "step": state["step"] + 1,
+    }
+    metrics = {
+        "total_loss": loss,
+        "param_norm": global_norm(params),
+        "grad_norm": global_norm(grads),
+        "lr": schedule(state["step"]),
+    }
+    # per-pair logs, reference filters keys containing '|'
+    # (train_accel_gpu.py:127)
+    for k, v in out["losses"].items():
+        if "|" not in k:
+            metrics[k] = v
+    for k in ("fcl_loss", "no-fcl_loss"):
+        if k in out:
+            metrics[k] = out[k]
+    return new_state, metrics
+
+
 def make_train_step(model, tx, schedule):
-    """One jit-compiled step: grads + update + metric scalars."""
+    """One jit-compiled step (single batch)."""
 
     @partial(jax.jit, donate_argnums=0)
     def train_step(state, batch):
-        def loss_fn(params):
-            out = model.apply(params, batch)
-            return out["loss"], out
-
-        (loss, out), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state["params"])
-        updates, opt_state = tx.update(
-            grads, state["opt_state"], state["params"]
-        )
-        params = optax.apply_updates(state["params"], updates)
-        new_state = {
-            "params": params,
-            "opt_state": opt_state,
-            "step": state["step"] + 1,
-        }
-        metrics = {
-            "total_loss": loss,
-            "param_norm": global_norm(params),
-            "grad_norm": global_norm(grads),
-            "lr": schedule(state["step"]),
-        }
-        # per-pair logs, reference filters keys containing '|'
-        # (train_accel_gpu.py:127)
-        for k, v in out["losses"].items():
-            if "|" not in k:
-                metrics[k] = v
-        for k in ("fcl_loss", "no-fcl_loss"):
-            if k in out:
-                metrics[k] = out[k]
-        return new_state, metrics
+        return _step_body(model, tx, schedule, state, batch)
 
     return train_step
+
+
+def make_train_step_scan(model, tx, schedule):
+    """K optimiser steps per executable launch.
+
+    ``batches`` is a batch pytree with a leading [K] axis;
+    ``lax.scan`` runs the K steps on-device in one call and returns
+    stacked per-step metrics.  This amortises host->device dispatch —
+    essential on remote-attached TPUs where per-launch latency is large
+    relative to the ~100ms step — and is the idiomatic way to keep the
+    chip busy regardless.
+    """
+
+    @partial(jax.jit, donate_argnums=0)
+    def train_steps(state, batches):
+        def body(st, batch):
+            return _step_body(model, tx, schedule, st, batch)
+
+        return jax.lax.scan(body, state, batches)
+
+    return train_steps
+
+
+def stack_batches(batch_list):
+    """List of K same-shape batch pytrees -> one pytree with [K] axis."""
+    return jax.tree.map(
+        lambda *xs: np.stack(xs), *batch_list
+    )
 
 
 def make_eval_step(model):
@@ -375,29 +409,70 @@ def train(config: Config) -> str:
     )
     meter = ThroughputMeter(tokens_per_step)
 
+    steps_per_call = int(config.get("steps_per_call", 0))
+    if steps_per_call <= 0:
+        # remote-attached TPUs pay seconds of dispatch per launch;
+        # amortise with multi-step scan calls there, stay single-step
+        # on CPU (test) backends to keep compiles cheap
+        steps_per_call = 1 if jax.default_backend() == "cpu" else 8
     train_step = make_train_step(model, tx, schedule)
+    train_steps = (
+        make_train_step_scan(model, tx, schedule)
+        if steps_per_call > 1
+        else None
+    )
     eval_step = make_eval_step(model)
+
+    def flush_chunk(state, chunk, epoch):
+        """Run a group of collated batches through one launch."""
+        if len(chunk) == 1 or train_steps is None:
+            for b in chunk:
+                state, metrics = train_step(
+                    state, shard_batch(b, mesh)
+                )
+                meter.step()
+                _log_metrics(metrics, state, epoch, None)
+        else:
+            stacked = shard_batch(
+                stack_batches(chunk), mesh, leading_scan_axis=True
+            )
+            state, metrics = train_steps(state, stacked)
+            host = jax.device_get(metrics)
+            base_step = int(state["step"]) - len(chunk)
+            for i in range(len(chunk)):
+                meter.step()
+                _log_metrics(
+                    jax.tree.map(lambda x: x[i], host),
+                    state,
+                    epoch,
+                    base_step + i + 1,
+                )
+        return state
+
+    def _log_metrics(metrics, state, epoch, step):
+        step = int(state["step"]) if step is None else step
+        if step % max(config.log_every, 1) == 0:
+            rec = {k: float(v) for k, v in metrics.items()}
+            rec["tokens_per_sec"] = meter.tokens_per_sec
+            rec["epoch"] = epoch
+            log.log(rec, step=step)
 
     for epoch in range(config.start_epoch, config.epochs):
         train_dl.set_epoch(epoch)
+        chunk = []
+        last_ckpt_bucket = 0
         for idb, batch in enumerate(train_dl):
-            state, metrics = train_step(
-                state, shard_batch(batch, mesh)
-            )
-            meter.step()
-            if (
-                config.n_step_checkpoint
-                and idb % config.n_step_checkpoint == 0
-            ):
-                ckpt.save_state(state, config.output_dir)
-            step = int(state["step"])
-            if step % max(config.log_every, 1) == 0:
-                metrics = {
-                    k: float(v) for k, v in metrics.items()
-                }
-                metrics["tokens_per_sec"] = meter.tokens_per_sec
-                metrics["epoch"] = epoch
-                log.log(metrics, step=step)
+            chunk.append(batch)
+            if len(chunk) == steps_per_call:
+                state = flush_chunk(state, chunk, epoch)
+                chunk = []
+            if config.n_step_checkpoint:
+                bucket = idb // config.n_step_checkpoint
+                if bucket != last_ckpt_bucket and not chunk:
+                    last_ckpt_bucket = bucket
+                    ckpt.save_state(state, config.output_dir)
+        if chunk:
+            state = flush_chunk(state, chunk, epoch)
         ckpt.save_state(
             state, os.path.join(config.output_dir, str(epoch))
         )
