@@ -141,6 +141,7 @@ def get_cfg_defaults_train() -> Config:
             "log_every": 1,              # JSONL log cadence (steps)
             "steps_per_call": 0,         # optimiser steps per launch (0 = auto)
             "checkpoint_keep": 0,        # 0 = keep all epoch checkpoints
+            "trace_dir": "",             # jax.profiler trace of one launch
         }
     )
 

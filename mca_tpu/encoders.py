@@ -66,10 +66,16 @@ class TokenEncoder(nn.Module):
         )
         emb = jnp.take(table, x, axis=0)
         if self.max_norm is not None:
-            norm = jnp.linalg.norm(emb, axis=-1, keepdims=True)
-            emb = emb * (
-                self.max_norm / jnp.maximum(norm, self.max_norm)
+            # max(||row||, max_norm) via squared norms: keeps the
+            # gradient finite at exactly-zero rows (d||x||/dx is NaN at
+            # 0; the padding_idx row is all-zero)
+            norm_sq = jnp.sum(
+                jnp.square(emb), axis=-1, keepdims=True
             )
+            safe = jnp.sqrt(
+                jnp.maximum(norm_sq, self.max_norm**2)
+            )
+            emb = emb * (self.max_norm / safe)
         if self.padding_idx is not None:
             pad = self.padding_idx % self.num_embeddings
             emb = jnp.where((x == pad)[..., None], 0.0, emb)

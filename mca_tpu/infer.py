@@ -150,22 +150,35 @@ def infer(config: Config) -> str:
     def forward(params, batch):
         return model.apply(params, batch)
 
+    @jax.jit
+    def forward_scan(params, batches):
+        def body(carry, b):
+            return carry, model.apply(params, b)
+
+        _, outs = jax.lax.scan(body, None, batches)
+        return outs
+
+    steps_per_call = int(config.get("steps_per_call", 0))
+    if steps_per_call <= 0:
+        steps_per_call = 1 if jax.default_backend() == "cpu" else 8
+
     # the reference reads batch['Labels']['data'] (infer_accel_gpu.py:105);
     # TCGA-style datasets store labels under 'values'
     label_field = next(
         (f for f in ("data", "values") if f in label_batch),
         next(iter(label_batch.keys())),
     )
+    from mca_tpu.train import stack_batches
+
     for split, dl in loaders.items():
         embeddings = defaultdict(list)
         masks = defaultdict(list)
         labels = []
         total_loss = 0.0
         n = 0
-        for batch in dl:
-            batch_labels = batch.pop(config.label_col)
-            out = forward(params, shard_batch(batch, mesh))
-            out = jax.device_get(out)
+
+        def consume(out) -> None:
+            nonlocal total_loss, n
             total_loss += float(out.pop("loss"))
             out.pop("losses")
             out.pop("fcl_loss", None)
@@ -181,7 +194,37 @@ def infer(config: Config) -> str:
                 embeddings[key].append(np.asarray(v))
             for k, v in sample_mask.items():
                 masks[k].append(np.asarray(v))
+
+        def flush(chunk) -> None:
+            if len(chunk) == 1 or steps_per_call == 1:
+                for b in chunk:
+                    consume(
+                        dict(
+                            jax.device_get(
+                                forward(params, shard_batch(b, mesh))
+                            )
+                        )
+                    )
+            else:
+                stacked = shard_batch(
+                    stack_batches(chunk), mesh, leading_scan_axis=True
+                )
+                outs = jax.device_get(forward_scan(params, stacked))
+                for i in range(len(chunk)):
+                    consume(
+                        jax.tree.map(lambda x: x[i], dict(outs))
+                    )
+
+        chunk = []
+        for batch in dl:
+            batch_labels = batch.pop(config.label_col)
             labels.append(np.asarray(batch_labels[label_field]))
+            chunk.append(batch)
+            if len(chunk) == steps_per_call:
+                flush(chunk)
+                chunk = []
+        if chunk:
+            flush(chunk)
         logger.info(
             "%s split: %d batches, mean loss %.4f",
             split,

@@ -243,6 +243,20 @@ def make_eval_step(model):
     return eval_step
 
 
+def make_eval_step_scan(model):
+    """Evaluate K batches per launch; outputs stacked on axis 0."""
+
+    @jax.jit
+    def eval_steps(params, batches):
+        def body(carry, batch):
+            return carry, model.apply(params, batch)
+
+        _, outs = jax.lax.scan(body, None, batches)
+        return outs
+
+    return eval_steps
+
+
 # ---------------------------------------------------------------------------
 # The loop
 # ---------------------------------------------------------------------------
@@ -269,8 +283,9 @@ def run_eval_epoch(
         align = {}
     losses: Dict[str, float] = {}
     n_batches = 0
-    for batch in eval_dl:
-        out = eval_step(params, shard_batch(batch, mesh))
+
+    def consume(out) -> None:
+        nonlocal n_batches
         n_batches += 1
         losses["total_loss"] = losses.get("total_loss", 0.0) + float(
             out["loss"]
@@ -281,7 +296,7 @@ def run_eval_epoch(
             if "|" not in k:
                 step_log["val_step_" + k] = float(v)
         log.log(step_log, step=step)
-        sample_mask = jax.device_get(out["modality_sample_mask"])
+        sample_mask = out["modality_sample_mask"]
         for k, acc in unif.items():
             if k == "fusion":
                 acc.update(np.asarray(out["fusion"]))
@@ -293,6 +308,33 @@ def run_eval_epoch(
             acc.update(
                 np.asarray(out[k])[m], np.asarray(out["fusion"])[m]
             )
+
+    eval_step, eval_steps, k_per_call = eval_step
+    chunk = []
+
+    def flush(chunk):
+        if len(chunk) == 1 or eval_steps is None:
+            for b in chunk:
+                consume(
+                    jax.device_get(
+                        eval_step(params, shard_batch(b, mesh))
+                    )
+                )
+        else:
+            stacked = shard_batch(
+                stack_batches(chunk), mesh, leading_scan_axis=True
+            )
+            outs = jax.device_get(eval_steps(params, stacked))
+            for i in range(len(chunk)):
+                consume(jax.tree.map(lambda x: x[i], outs))
+
+    for batch in eval_dl:
+        chunk.append(batch)
+        if len(chunk) == k_per_call:
+            flush(chunk)
+            chunk = []
+    if chunk:
+        flush(chunk)
     if not n_batches:
         return
     epoch_log = {
@@ -327,6 +369,16 @@ def run_eval_epoch(
                     np.mean(list(a.values()))
                 )
     log.log(epoch_log, step=step)
+
+
+def _prune_checkpoints(output_dir: str, epoch: int, keep: int) -> None:
+    """Keep only the newest ``keep`` per-epoch checkpoint dirs."""
+    import shutil
+
+    for old in range(epoch - keep + 1):
+        path = os.path.join(output_dir, str(old))
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def train(config: Config) -> str:
@@ -421,7 +473,11 @@ def train(config: Config) -> str:
         if steps_per_call > 1
         else None
     )
-    eval_step = make_eval_step(model)
+    eval_step = (
+        make_eval_step(model),
+        make_eval_step_scan(model) if steps_per_call > 1 else None,
+        steps_per_call,
+    )
 
     def flush_chunk(state, chunk, epoch):
         """Run a group of collated batches through one launch."""
@@ -457,6 +513,9 @@ def train(config: Config) -> str:
             rec["epoch"] = epoch
             log.log(rec, step=step)
 
+    trace_dir = config.get("trace_dir", "")
+    launches = 0
+
     for epoch in range(config.start_epoch, config.epochs):
         train_dl.set_epoch(epoch)
         chunk = []
@@ -464,7 +523,14 @@ def train(config: Config) -> str:
         for idb, batch in enumerate(train_dl):
             chunk.append(batch)
             if len(chunk) == steps_per_call:
-                state = flush_chunk(state, chunk, epoch)
+                launches += 1
+                if trace_dir and launches == 2:  # post-warmup launch
+                    from mca_tpu.utils.logging import trace_context
+
+                    with trace_context(trace_dir):
+                        state = flush_chunk(state, chunk, epoch)
+                else:
+                    state = flush_chunk(state, chunk, epoch)
                 chunk = []
             if config.n_step_checkpoint:
                 bucket = idb // config.n_step_checkpoint
@@ -476,6 +542,10 @@ def train(config: Config) -> str:
         ckpt.save_state(
             state, os.path.join(config.output_dir, str(epoch))
         )
+        if config.get("checkpoint_keep", 0):
+            _prune_checkpoints(
+                config.output_dir, epoch, config.checkpoint_keep
+            )
         if config.run_eval_loop:
             run_eval_epoch(
                 config,
