@@ -35,8 +35,10 @@ def main() -> None:
     from mca_tpu.train import (
         hf_lr_schedule,
         init_state,
+        make_flat_apparatus,
+        make_flat_train_step_scan,
         make_optimizer,
-        make_train_step_scan,
+        step_metric_names,
     )
     import __graft_entry__ as ge
 
@@ -54,28 +56,40 @@ def main() -> None:
         cfg.lr_scheduler_type, cfg.lr, cfg.num_warmup_steps, 1000
     )
     state = init_state(model, tx, batch, seed=0)
-    # K steps per launch (lax.scan) — the production loop's shape; on
-    # remote-attached chips single-step launches are dominated by
-    # dispatch latency
-    K = 10
-    train_steps = make_train_step_scan(model, tx, schedule)
+    # flat-state scan: K steps per launch, single-vector params/AdamW —
+    # the production loop's fast path (see mca_tpu.train)
+    K = 32
+    names = step_metric_names(model, tx, schedule, state, batch)
+    flat0, unravel, flat_tx = make_flat_apparatus(
+        cfg, 1000, state["params"]
+    )
+    state = {
+        "flat": flat0,
+        "opt_state": flat_tx.init(flat0),
+        "step": state["step"],
+    }
+    train_steps = make_flat_train_step_scan(
+        model, flat_tx, schedule, unravel, names
+    )
 
     stacked = jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (K,) + x.shape), batch
     )
 
     # compile + warmup
-    state, metrics = train_steps(state, stacked)
-    jax.block_until_ready(metrics["total_loss"])
+    state, packed = train_steps(state, stacked)
+    jax.block_until_ready(packed)
 
     n_calls = 2
     t0 = time.perf_counter()
     for _ in range(n_calls):
-        state, metrics = train_steps(state, stacked)
-    jax.block_until_ready(metrics["total_loss"])
+        state, packed = train_steps(state, stacked)
+    jax.block_until_ready(packed)
     n_steps = n_calls * K
     dt = (time.perf_counter() - t0) / n_steps
-    metrics = jax.tree.map(lambda x: x[-1], jax.device_get(metrics))
+    import numpy as np
+
+    metrics = dict(zip(names, np.asarray(jax.device_get(packed))[-1]))
 
     seq_len = sum(widths.values()) + cfg.num_fusion_tokens
     tokens_per_step = cfg.batch_size * seq_len

@@ -142,6 +142,7 @@ def get_cfg_defaults_train() -> Config:
             "steps_per_call": 0,         # optimiser steps per launch (0 = auto)
             "checkpoint_keep": 0,        # 0 = keep all epoch checkpoints
             "trace_dir": "",             # jax.profiler trace of one launch
+            "fuse_optimizer": True,      # flat-vector AdamW (fewer kernels)
         }
     )
 

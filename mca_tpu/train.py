@@ -140,8 +140,14 @@ def make_optimizer(
             weight_decay=0.01,  # torch AdamW default
         )
     )
-    chain.append(clamp_logit_scale())
-    return optax.chain(*chain)
+    inner = optax.chain(*chain)
+    if config.get("fuse_optimizer", True):
+        # one AdamW over a single flat vector instead of ~90 leaves:
+        # per-leaf kernel launches dominate the update on this backend
+        # (identical math — ravel/unravel are two contiguous copies)
+        inner = optax.flatten(inner)
+    # the clamp needs parameter paths -> applied outside the flattening
+    return optax.chain(inner, clamp_logit_scale())
 
 
 # ---------------------------------------------------------------------------
@@ -206,21 +212,39 @@ def make_train_step(model, tx, schedule):
     return train_step
 
 
-def make_train_step_scan(model, tx, schedule):
+def step_metric_names(model, tx, schedule, state, batch):
+    """Static metric-name list via an abstract trace (no device work)."""
+    shapes = jax.eval_shape(
+        lambda s, b: _step_body(model, tx, schedule, s, b)[1],
+        state,
+        batch,
+    )
+    return tuple(sorted(shapes.keys()))
+
+
+def make_train_step_scan(model, tx, schedule, metric_names):
     """K optimiser steps per executable launch.
 
     ``batches`` is a batch pytree with a leading [K] axis;
-    ``lax.scan`` runs the K steps on-device in one call and returns
-    stacked per-step metrics.  This amortises host->device dispatch —
-    essential on remote-attached TPUs where per-launch latency is large
-    relative to the ~100ms step — and is the idiomatic way to keep the
-    chip busy regardless.
+    ``lax.scan`` runs the K steps on-device in one call.  Per-step
+    metric scalars are PACKED into one [M] vector inside the body (one
+    stacked [K, M] output instead of M separate outputs): on
+    remote-attached TPUs every output handle costs milliseconds, and a
+    dict of ~65 scalars per step dominated the step time (measured
+    896ms/step vs 111ms/step packed at TCGA scale).
     """
 
     @partial(jax.jit, donate_argnums=0)
     def train_steps(state, batches):
         def body(st, batch):
-            return _step_body(model, tx, schedule, st, batch)
+            ns, metrics = _step_body(model, tx, schedule, st, batch)
+            packed = jnp.stack(
+                [
+                    metrics[k].astype(jnp.float32)
+                    for k in metric_names
+                ]
+            )
+            return ns, packed
 
         return jax.lax.scan(body, state, batches)
 
@@ -232,6 +256,123 @@ def stack_batches(batch_list):
     return jax.tree.map(
         lambda *xs: np.stack(xs), *batch_list
     )
+
+
+# ---------------------------------------------------------------------------
+# Flat-state training (single param vector)
+# ---------------------------------------------------------------------------
+
+
+def clamp_logit_scale_flat(
+    mask,
+) -> optax.GradientTransformation:
+    """Flat-vector variant of :func:`clamp_logit_scale` (mask of the
+    logit_scale positions in the raveled parameter vector)."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del state
+        if params is None:
+            return updates, optax.EmptyState()
+        clamped = (
+            jnp.clip(params + updates, LOGIT_SCALE_MIN, LOGIT_SCALE_MAX)
+            - params
+        )
+        return jnp.where(mask, clamped, updates), optax.EmptyState()
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_flat_apparatus(config: Config, num_training_steps: int, params):
+    """(flat0, unravel, tx) for single-vector training state.
+
+    The whole parameter tree is raveled into ONE fp32 vector: the
+    optimiser becomes a handful of full-vector kernels instead of
+    ~90-leaf elementwise chains, and the train state is ~6 device
+    buffers instead of ~260 — which matters on remote-attached TPUs
+    where every argument/output handle has per-launch cost.  Pure data
+    parallelism only (tensor-parallel runs keep the tree state).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    flat0, unravel = ravel_pytree(params)
+    marker = jax.tree_util.tree_map_with_path(
+        lambda p, x: np.full(
+            np.shape(x), "logit_scale" in jax.tree_util.keystr(p)
+        ),
+        params,
+    )
+    flat_mask = jnp.asarray(ravel_pytree(marker)[0], bool)
+    schedule = hf_lr_schedule(
+        config.lr_scheduler_type,
+        config.lr,
+        config.num_warmup_steps,
+        num_training_steps,
+    )
+    chain = []
+    if config.clip:
+        chain.append(optax.clip_by_global_norm(config.clip))
+    chain.append(
+        optax.adamw(
+            schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01
+        )
+    )
+    chain.append(clamp_logit_scale_flat(flat_mask))
+    return flat0, unravel, optax.chain(*chain)
+
+
+def _flat_step_body(model, tx, schedule, unravel, state, batch):
+    def loss_fn(flat):
+        out = model.apply(unravel(flat), batch)
+        return out["loss"], out
+
+    (loss, out), gflat = jax.value_and_grad(loss_fn, has_aux=True)(
+        state["flat"]
+    )
+    updates, opt_state = tx.update(
+        gflat, state["opt_state"], state["flat"]
+    )
+    flat = optax.apply_updates(state["flat"], updates)
+    new_state = {
+        "flat": flat,
+        "opt_state": opt_state,
+        "step": state["step"] + 1,
+    }
+    metrics = {
+        "total_loss": loss,
+        "param_norm": jnp.linalg.norm(flat),
+        "grad_norm": jnp.linalg.norm(gflat),
+        "lr": schedule(state["step"]),
+    }
+    for k, v in out["losses"].items():
+        if "|" not in k:
+            metrics[k] = v
+    for k in ("fcl_loss", "no-fcl_loss"):
+        if k in out:
+            metrics[k] = out[k]
+    return new_state, metrics
+
+
+def make_flat_train_step_scan(
+    model, tx, schedule, unravel, metric_names
+):
+    @partial(jax.jit, donate_argnums=0)
+    def train_steps(state, batches):
+        def body(st, batch):
+            ns, metrics = _flat_step_body(
+                model, tx, schedule, unravel, st, batch
+            )
+            packed = jnp.stack(
+                [metrics[k].astype(jnp.float32) for k in metric_names]
+            )
+            return ns, packed
+
+        return jax.lax.scan(body, state, batches)
+
+    return train_steps
 
 
 def make_eval_step(model):
@@ -441,10 +582,6 @@ def train(config: Config) -> str:
         "Number of training batches per epoch: %d", len(train_dl)
     )
 
-    if config.restart:
-        logger.info("Loading saved state from %s", config.restart)
-        state = ckpt.load_state(config.restart, target=state)
-
     wandb_cfg = None
     if config.wandb:
         wandb_cfg = {
@@ -466,43 +603,122 @@ def train(config: Config) -> str:
         # remote-attached TPUs pay seconds of dispatch per launch;
         # amortise with multi-step scan calls there, stay single-step
         # on CPU (test) backends to keep compiles cheap
-        steps_per_call = 1 if jax.default_backend() == "cpu" else 8
-    train_step = make_train_step(model, tx, schedule)
-    train_steps = (
-        make_train_step_scan(model, tx, schedule)
-        if steps_per_call > 1
-        else None
+        steps_per_call = 1 if jax.default_backend() == "cpu" else 32
+    # flat single-vector state: fastest path, pure-DP only (tensor
+    # parallelism needs the parameter tree structure)
+    flat_mode = (
+        steps_per_call > 1
+        and bool(config.get("flat_state", True))
+        and int(config.mesh_model) <= 1
     )
+    train_step = make_train_step(model, tx, schedule)
+    metric_names = step_metric_names(
+        model, tx, schedule, state, first_batch
+    )
+    unravel = None
+    if flat_mode:
+        flat0, unravel, flat_tx = make_flat_apparatus(
+            config, num_training_steps, state["params"]
+        )
+        state = {
+            "flat": flat0,
+            "opt_state": flat_tx.init(flat0),
+            "step": state["step"],
+        }
+        train_steps = make_flat_train_step_scan(
+            model, flat_tx, schedule, unravel, metric_names
+        )
+        unravel_jit = jax.jit(unravel)
+    elif steps_per_call > 1:
+        train_steps = make_train_step_scan(
+            model, tx, schedule, metric_names
+        )
+    else:
+        train_steps = None
     eval_step = (
         make_eval_step(model),
         make_eval_step_scan(model) if steps_per_call > 1 else None,
         steps_per_call,
     )
 
+    def current_params(state):
+        return (
+            unravel_jit(state["flat"]) if flat_mode else state["params"]
+        )
+
+    def state_for_checkpoint(state):
+        """Checkpoint layout always carries the parameter TREE under
+        'params' so inference/restart work across modes."""
+        if not flat_mode:
+            return state
+        return {
+            "params": current_params(state),
+            "opt_state": state["opt_state"],
+            "step": state["step"],
+        }
+
+    def restore_state(state, restart_dir):
+        """Restart from a checkpoint saved in either state mode:
+        params (always a tree) + step always restore; the optimiser
+        state restores when its structure matches, else restarts fresh
+        with a warning (e.g. flat <-> tree mode switch)."""
+        target = state_for_checkpoint(state)
+        try:
+            restored = ckpt.load_state(restart_dir, target=target)
+        except Exception:
+            raw = ckpt.load_state(restart_dir)
+            logger.warning(
+                "optimizer state in %s does not match the current "
+                "training mode; restoring parameters only",
+                restart_dir,
+            )
+            restored = dict(target)
+            restored["params"] = jax.tree.map(
+                lambda t, r: np.asarray(r),
+                target["params"],
+                raw["params"],
+            )
+            restored["step"] = jnp.asarray(raw.get("step", 0))
+        if flat_mode:
+            from jax.flatten_util import ravel_pytree
+
+            return {
+                "flat": ravel_pytree(restored["params"])[0],
+                "opt_state": restored["opt_state"],
+                "step": jnp.asarray(restored["step"]),
+            }
+        return restored
+
+    if config.restart:
+        logger.info("Loading saved state from %s", config.restart)
+        state = restore_state(state, config.restart)
+
     def flush_chunk(state, chunk, epoch):
         """Run a group of collated batches through one launch."""
-        if len(chunk) == 1 or train_steps is None:
+        if train_steps is None or (len(chunk) == 1 and not flat_mode):
             for b in chunk:
                 state, metrics = train_step(
                     state, shard_batch(b, mesh)
                 )
                 meter.step()
                 _log_metrics(metrics, state, epoch, None)
-        else:
-            stacked = shard_batch(
-                stack_batches(chunk), mesh, leading_scan_axis=True
+            return state
+        # scan path (flat or tree state); a remainder chunk of any
+        # length scans fine, it just compiles once per distinct length
+        stacked = shard_batch(
+            stack_batches(chunk), mesh, leading_scan_axis=True
+        )
+        state, packed = train_steps(state, stacked)
+        host = np.asarray(jax.device_get(packed))  # [K, M]
+        base_step = int(state["step"]) - len(chunk)
+        for i in range(len(chunk)):
+            meter.step()
+            _log_metrics(
+                dict(zip(metric_names, host[i])),
+                state,
+                epoch,
+                base_step + i + 1,
             )
-            state, metrics = train_steps(state, stacked)
-            host = jax.device_get(metrics)
-            base_step = int(state["step"]) - len(chunk)
-            for i in range(len(chunk)):
-                meter.step()
-                _log_metrics(
-                    jax.tree.map(lambda x: x[i], host),
-                    state,
-                    epoch,
-                    base_step + i + 1,
-                )
         return state
 
     def _log_metrics(metrics, state, epoch, step):
@@ -536,11 +752,14 @@ def train(config: Config) -> str:
                 bucket = idb // config.n_step_checkpoint
                 if bucket != last_ckpt_bucket and not chunk:
                     last_ckpt_bucket = bucket
-                    ckpt.save_state(state, config.output_dir)
+                    ckpt.save_state(
+                        state_for_checkpoint(state), config.output_dir
+                    )
         if chunk:
             state = flush_chunk(state, chunk, epoch)
         ckpt.save_state(
-            state, os.path.join(config.output_dir, str(epoch))
+            state_for_checkpoint(state),
+            os.path.join(config.output_dir, str(epoch)),
         )
         if config.get("checkpoint_keep", 0):
             _prune_checkpoints(
@@ -551,13 +770,13 @@ def train(config: Config) -> str:
                 config,
                 model_config,
                 eval_step,
-                state["params"],
+                current_params(state),
                 eval_dl,
                 mesh,
                 log,
                 int(state["step"]),
             )
-    ckpt.save_params(state["params"], config.output_dir)
+    ckpt.save_params(current_params(state), config.output_dir)
     log.close()
     return config.output_dir
 
