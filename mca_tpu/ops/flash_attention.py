@@ -100,9 +100,11 @@ def _fwd_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32)  # [bq, d]
-    k = k_ref[0].astype(jnp.float32)  # [bk, d]
-    v = v_ref[0].astype(jnp.float32)  # [bk, d]
+    # native-dtype operands (bf16 hits the MXU at full rate), fp32
+    # accumulation via preferred_element_type
+    q = q_ref[0]  # [bq, d]
+    k = k_ref[0]  # [bk, d]
+    v = v_ref[0]  # [bk, d]
     s = (
         jax.lax.dot_general(
             q, k,
@@ -110,7 +112,7 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
         )
         * scale
-    )  # [bq, bk]
+    )  # [bq, bk] fp32
     blocked = (mask_ref[:] != 0) | (pad_ref[0][:1, :] != 0)
     s = jnp.where(blocked, NEG_INF, s)
 
@@ -123,7 +125,7 @@ def _fwd_kernel(
     correction = jnp.exp(m_prev - m_new)
     l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * correction + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
@@ -166,10 +168,10 @@ def _dq_kernel(
     def _():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0][:, :1]  # [bq, 1]
     delta = delta_ref[0][:, :1]
     s = (
@@ -189,7 +191,7 @@ def _dq_kernel(
     )
     ds = p * (dp - delta)
     dq_scr[:] = dq_scr[:] + scale * jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())),
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -219,10 +221,10 @@ def _dkv_kernel(
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0][:, :1]
     delta = delta_ref[0][:, :1]
     s = (
@@ -237,7 +239,7 @@ def _dkv_kernel(
     p = jnp.exp(s - lse)
     p = jnp.where(blocked, 0.0, p)
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())),
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dp = jax.lax.dot_general(
@@ -246,7 +248,7 @@ def _dkv_kernel(
     )
     ds = p * (dp - delta)
     dk_scr[:] = dk_scr[:] + scale * jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())),
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
