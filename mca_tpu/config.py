@@ -279,6 +279,17 @@ def get_model_config(config: Config) -> Dict[str, Any]:
     }
 
 
+def dump_model_configs(config: Config, output_dir: str) -> None:
+    """Dump the model kwargs as JSON (ref utils/config.py:125-127)."""
+    import json
+
+    os.makedirs(output_dir, exist_ok=True)
+    with open(
+        os.path.join(output_dir, "model_config.json"), "w"
+    ) as f:
+        json.dump(get_model_config(config), f)
+
+
 def restart_cfg(config: Config) -> Config:
     """Merge a checkpoint's dumped config on restart (ref utils/config.py:63-74)."""
     if config.restart:

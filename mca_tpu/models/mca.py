@@ -68,6 +68,14 @@ class MCA(nn.Module):
     loss_axis_name: Optional[str] = None
 
     def setup(self) -> None:
+        # mean pooling collapses ALL fusion tokens into one vector, so
+        # per-combo FCL pooled tokens don't exist; the reference's
+        # MCA(mean_pool=True) crashed outright (ref model.py:262) — here
+        # the supported combinations are explicit
+        assert not (self.mean_pool and self.fcl and not self.zorro), (
+            "mean_pool is incompatible with fusion-channel pooling "
+            "(fcl); use zorro or attentive pooling"
+        )
         enc_cfgs = dict(self.encoder_configs)
         self.modality_types = tuple(enc_cfgs.keys())
         token_dims = [

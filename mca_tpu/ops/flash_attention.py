@@ -278,7 +278,7 @@ def make_flash_attention(
     *,
     scale: float,
     block_q: int = 256,
-    block_k: int = 256,
+    block_k: int = 512,
     interpret: bool = False,
 ):
     """Build a flash-attention fn for one static mask.
@@ -500,7 +500,7 @@ def flash_masked_attention(
     attn_mask: Optional[np.ndarray] = None,
     key_padding_mask=None,
     block_q: int = 256,
-    block_k: int = 256,
+    block_k: int = 512,  # best of the v5e sweep at TCGA scale (PERF.md)
     interpret: bool = False,
 ):
     """Drop-in for dense_masked_attention with a STATIC numpy mask."""
