@@ -28,11 +28,10 @@ forward, ref utils/contrastive_loss_with_temperature.py:156-187).
 from __future__ import annotations
 
 import logging
-import math
 import sys
 import os
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
