@@ -143,6 +143,7 @@ def get_cfg_defaults_train() -> Config:
             "checkpoint_keep": 0,        # 0 = keep all epoch checkpoints
             "trace_dir": "",             # jax.profiler trace of one launch
             "fuse_optimizer": True,      # flat-vector AdamW (fewer kernels)
+            "preload_dataset": True,     # materialise samples once (host RAM)
         }
     )
 

@@ -181,6 +181,7 @@ class BatchedLoader:
         shuffle: bool = False,
         seed: int = 0,
         drop_last: bool = True,
+        preload: bool = True,
     ):
         self.dataset = dataset
         self.collator = collator
@@ -189,6 +190,14 @@ class BatchedLoader:
         self.seed = seed
         self.drop_last = drop_last
         self._epoch = 0
+        # HF per-item access decodes arrow every time; materialising
+        # the samples once amortises it across epochs (TCGA-scale
+        # datasets are ~100MB; disable for datasets that don't fit)
+        self._items = (
+            [dataset[int(i)] for i in range(len(dataset))]
+            if preload
+            else None
+        )
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -208,7 +217,10 @@ class BatchedLoader:
         usable = (
             n - n % self.batch_size if self.drop_last else n
         )
+        source = (
+            self._items if self._items is not None else self.dataset
+        )
         for start in range(0, usable, self.batch_size):
             idx = order[start : start + self.batch_size]
-            samples = [self.dataset[int(i)] for i in idx]
+            samples = [source[int(i)] for i in idx]
             yield self.collator(samples)

@@ -129,12 +129,15 @@ def infer(config: Config) -> str:
     )
     collator = MultimodalCollator(mc, labels=config.label_col)
 
+    preload = bool(config.get("preload_dataset", True))
     loaders = {
         "train": BatchedLoader(
-            datasets["train"], collator, config.batch_size
+            datasets["train"], collator, config.batch_size,
+            preload=preload,
         ),
         "eval": BatchedLoader(
-            datasets["test"], collator, config.batch_size
+            datasets["test"], collator, config.batch_size,
+            preload=preload,
         ),
     }
 

@@ -546,15 +546,20 @@ def train(config: Config) -> str:
         if hasattr(config.modality_config, "to_plain")
         else config.modality_config
     )
+    preload = bool(config.get("preload_dataset", True))
     train_dl = BatchedLoader(
         datasets["train"],
         collator,
         config.batch_size,
         shuffle=True,
         seed=config.seed,
+        preload=preload,
     )
     eval_dl = BatchedLoader(
-        datasets["test"], collator, config.batch_size
+        datasets["test"],
+        collator,
+        config.batch_size,
+        preload=preload,
     )
     num_training_steps = config.epochs * len(train_dl)
     schedule = hf_lr_schedule(
