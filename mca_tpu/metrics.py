@@ -235,6 +235,10 @@ def multiclass_metrics(
     }
 
 
+#: reference-familiar alias (ref utils/metrics.py:82)
+get_rank_metrics = rank_metrics
+
+
 def pearson_r(pred: np.ndarray, target: np.ndarray) -> float:
     pred = np.asarray(pred, np.float64).reshape(-1)
     target = np.asarray(target, np.float64).reshape(-1)

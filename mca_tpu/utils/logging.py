@@ -33,7 +33,12 @@ def _to_scalar(v: Any) -> Any:
 
 
 class JSONLLogger:
-    """Append-only JSONL metric log with optional wandb mirroring."""
+    """Append-only JSONL metric log with optional wandb mirroring.
+
+    Note: NaN pair-losses (all-samples-missing batches, see
+    mca_tpu.losses) are written as bare ``NaN`` tokens — Python's
+    ``json.loads`` accepts them; strict JSON parsers may not.
+    """
 
     def __init__(
         self,

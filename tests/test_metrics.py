@@ -131,3 +131,21 @@ def test_pearson_r():
     rng = np.random.default_rng(0)
     a, b = rng.normal(size=1000), rng.normal(size=1000)
     assert abs(pearson_r(a, b)) < 0.1
+
+
+def test_get_rank_metrics_alias():
+    from mca_tpu.metrics import get_rank_metrics, rank_metrics
+
+    assert get_rank_metrics is rank_metrics
+
+
+def test_probe_mse_loss():
+    import jax.numpy as jnp
+
+    from mca_tpu.probe import make_loss_fn
+
+    fn = make_loss_fn("MSE")
+    val = float(
+        fn(jnp.asarray([[1.0], [2.0]]), jnp.asarray([0.0, 0.0]))
+    )
+    assert val == pytest.approx((1 + 4) / 2)
