@@ -25,6 +25,7 @@ from collections import defaultdict
 from typing import Any, Dict
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from mca_tpu import checkpoint as ckpt
@@ -149,17 +150,51 @@ def infer(config: Config) -> str:
     )
     params = _restore_params(config.restart, params)
 
-    @jax.jit
-    def forward(params, batch):
-        return model.apply(params, batch)
+    def _split_out(out):
+        emb_keys = sorted(
+            k
+            for k in out
+            if k
+            not in (
+                "loss",
+                "losses",
+                "fcl_loss",
+                "no-fcl_loss",
+                "modality_sample_mask",
+            )
+        )
+        mask_keys = sorted(out["modality_sample_mask"])
+        return emb_keys, mask_keys
+
+    _shapes = jax.eval_shape(
+        lambda p, b: model.apply(p, b),
+        params,
+        shard_batch(first, mesh),
+    )
+    emb_keys, mask_keys = _split_out(_shapes)
+
+    def _packed_forward(params, batch):
+        """Few-buffer output: stacked embeddings + masks + loss.
+
+        Per-key outputs would be ~80 buffers per launch (each one has
+        per-launch cost on remote-attached chips, see PERF.md).
+        """
+        out = model.apply(params, batch)
+        emb = jnp.stack([out[k] for k in emb_keys])  # [E, B, D]
+        msk = jnp.stack(
+            [out["modality_sample_mask"][k] for k in mask_keys]
+        )  # [M, B]
+        return emb, msk, out["loss"]
+
+    forward = jax.jit(_packed_forward)
 
     @jax.jit
     def forward_scan(params, batches):
         def body(carry, b):
-            return carry, model.apply(params, b)
+            return carry, _packed_forward(params, b)
 
         _, outs = jax.lax.scan(body, None, batches)
-        return outs
+        return outs  # ([K, E, B, D], [K, M, B], [K])
 
     steps_per_call = int(config.get("steps_per_call", 0))
     if steps_per_call <= 0:
@@ -180,43 +215,36 @@ def infer(config: Config) -> str:
         total_loss = 0.0
         n = 0
 
-        def consume(out) -> None:
+        def consume(emb, msk, loss) -> None:
             nonlocal total_loss, n
-            total_loss += float(out.pop("loss"))
-            out.pop("losses")
-            out.pop("fcl_loss", None)
-            out.pop("no-fcl_loss", None)
-            sample_mask = out.pop("modality_sample_mask")
+            total_loss += float(loss)
             n += 1
-            for k, v in out.items():
+            for i, k in enumerate(emb_keys):
                 key = (
                     combo_str_to_frozenset(k)
                     if str(k).startswith("combo:")
                     else k
                 )
-                embeddings[key].append(np.asarray(v))
-            for k, v in sample_mask.items():
-                masks[k].append(np.asarray(v))
+                embeddings[key].append(np.asarray(emb[i]))
+            for i, k in enumerate(mask_keys):
+                masks[k].append(np.asarray(msk[i]))
 
         def flush(chunk) -> None:
             if len(chunk) == 1 or steps_per_call == 1:
                 for b in chunk:
-                    consume(
-                        dict(
-                            jax.device_get(
-                                forward(params, shard_batch(b, mesh))
-                            )
-                        )
+                    emb, msk, loss = jax.device_get(
+                        forward(params, shard_batch(b, mesh))
                     )
+                    consume(emb, msk, loss)
             else:
                 stacked = shard_batch(
                     stack_batches(chunk), mesh, leading_scan_axis=True
                 )
-                outs = jax.device_get(forward_scan(params, stacked))
+                embs, msks, ls = jax.device_get(
+                    forward_scan(params, stacked)
+                )
                 for i in range(len(chunk)):
-                    consume(
-                        jax.tree.map(lambda x: x[i], dict(outs))
-                    )
+                    consume(embs[i], msks[i], ls[i])
 
         chunk = []
         for batch in dl:
