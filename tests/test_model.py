@@ -344,3 +344,30 @@ def test_full_forward_parity_vs_reference(
         out_ref["fusion"].numpy(),
         atol=2e-4,
     )
+
+
+def test_mean_pool_projection_variant(rng):
+    """MeanTokenProjectionPool with per-type projections (the reference
+    constructor's projection=True path, ref model.py:248)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mca_tpu.models.pool import MeanTokenProjectionPool
+
+    pool = MeanTokenProjectionPool(
+        token_types=(0, 0, 1, 1, -1),
+        in_dim=8,
+        out_dim=6,
+        projection=True,
+    )
+    x = jnp.asarray(rng.normal(size=(2, 5, 8)).astype(np.float32))
+    pad = jnp.asarray([[0, 0, 0, 0, 0], [1, 1, 0, 0, 0]], bool)
+    params = pool.init(jax.random.key(0), x, pad)
+    out = pool.apply(params, x, pad)
+    assert out.shape == (2, 3, 6)  # types 0, 1, -1 projected to 6
+    # sample 1 has type-0 tokens fully padded -> zero vector before
+    # projection; projected zero = bias only
+    bias = np.asarray(params["params"]["proj_0"]["bias"])
+    np.testing.assert_allclose(
+        np.asarray(out)[1, 0], bias, atol=1e-6
+    )
