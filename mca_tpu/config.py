@@ -144,6 +144,7 @@ def get_cfg_defaults_train() -> Config:
             "trace_dir": "",             # jax.profiler trace of one launch
             "fuse_optimizer": True,      # flat-vector AdamW (fewer kernels)
             "preload_dataset": True,     # materialise samples once (host RAM)
+            "remat": False,              # rematerialise transformer blocks
         }
     )
 
@@ -277,6 +278,7 @@ def get_model_config(config: Config) -> Dict[str, Any]:
         "mean_pool": config.mean_pool,
         "precision": config.get("precision", "bf16"),
         "attention_impl": config.get("attention_impl", "auto"),
+        "remat": config.get("remat", False),
     }
 
 

@@ -47,6 +47,7 @@ class EAO(nn.Module):
     mean_pool: bool = True
     precision: str = "fp32"
     attention_impl: str = "dense"
+    remat: bool = False
     loss_axis_name: Optional[str] = None
 
     def setup(self) -> None:
@@ -73,7 +74,9 @@ class EAO(nn.Module):
                 heads=self.heads,
                 ff_mult=self.ff_mult,
                 dtype=dtype,
-                attn_impl="dense",  # unmasked dense passes
+                # unmasked, but the flash kernel still wins on TPU:
+                # O(T) memory in the backward across the 15 passes
+                attn_impl=self.attention_impl,
                 name=f"layer_{i}",
             )
             for i in range(self.depth)
@@ -100,8 +103,14 @@ class EAO(nn.Module):
     def single_pass(self, tokens: Array, padding: Array) -> Array:
         """depth x MCALayer + masked mean pool (ref model.py:556-569)."""
         x = tokens.astype(_dtype_of(self.precision))
+
+        def apply_layer(layer, x, padding):
+            return layer(x, None, padding)
+
+        if self.remat:
+            apply_layer = nn.remat(apply_layer)
         for layer in self.layers:
-            x = layer(x, None, padding)
+            x = apply_layer(layer, x, padding)
         x = self.final_norm(x.astype(jnp.float32))
         return self.attn_pool(x, padding)  # [B, 1, D]
 

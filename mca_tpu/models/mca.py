@@ -65,6 +65,7 @@ class MCA(nn.Module):
     mean_pool: bool = False
     precision: str = "fp32"
     attention_impl: str = "dense"
+    remat: bool = False
     loss_axis_name: Optional[str] = None
 
     def setup(self) -> None:
@@ -195,8 +196,15 @@ class MCA(nn.Module):
         attn_mask = self.mask_set.attn_mask
         dtype = _dtype_of(self.precision)
         x = x.astype(dtype)
+        # the static mask rides in a closure so rematerialisation never
+        # traces it (the Pallas schedule needs it as numpy)
+        def apply_layer(layer, x, padding):
+            return layer(x, attn_mask, padding)
+
+        if self.remat:
+            apply_layer = nn.remat(apply_layer)
         for layer in self.layers:
-            x = layer(x, attn_mask, padding)
+            x = apply_layer(layer, x, padding)
         x = self.final_norm(x.astype(jnp.float32))
 
         if self.mean_pool:

@@ -296,8 +296,14 @@ def make_flash_attention(
     n_tiles = len(q_of)
     tq, tk = nq * block_q, nk * block_k
 
-    def _pad_qkv(x):
+    def _pad_q(x):
         return jnp.pad(x, ((0, 0), (0, tq - t_real), (0, 0)))
+
+    def _pad_kv(x):
+        # kv blocks index into a tk-length array; tq and tk differ
+        # whenever block_q != block_k and T doesn't pad to the same
+        # multiple of both
+        return jnp.pad(x, ((0, 0), (0, tk - t_real), (0, 0)))
 
     def _pad_keymask(pad, b):
         if pad is None:
@@ -463,9 +469,9 @@ def make_flash_attention(
 
     def _flash_fwd(q, k, v, key_padding_mask):
         b, h, t, d = q.shape
-        qf = _pad_qkv(q.reshape(b * h, t, d))
-        kf = _pad_qkv(k.reshape(b * h, t, d))
-        vf = _pad_qkv(v.reshape(b * h, t, d))
+        qf = _pad_q(q.reshape(b * h, t, d))
+        kf = _pad_kv(k.reshape(b * h, t, d))
+        vf = _pad_kv(v.reshape(b * h, t, d))
         pad8 = _pad_keymask(key_padding_mask, b)
         out, lse = _fwd_call(qf, kf, vf, pad8, h)
         res = (qf, kf, vf, pad8, out, lse, (b, h, t, d))
@@ -473,7 +479,7 @@ def make_flash_attention(
 
     def _flash_bwd(res, g):
         qf, kf, vf, pad8, out, lse, (b, h, t, d) = res
-        do = _pad_qkv(g.reshape(b * h, t, d))
+        do = _pad_q(g.reshape(b * h, t, d))
         delta = jnp.sum(
             do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
         )  # [bh, tq]

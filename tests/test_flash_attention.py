@@ -147,3 +147,33 @@ def test_tile_schedule_skips_blocked_tiles():
     assert sorted(zip(q_of.tolist(), kv_of.tolist())) == sorted(
         zip(q2.tolist(), kv2.tolist())
     )
+
+
+def test_asymmetric_blocks_tq_ne_tk(rng):
+    """block_q != block_k pads queries and keys to DIFFERENT lengths;
+    regression for the kv-padded-to-tq out-of-bounds bug."""
+    for t in (12, 100, 130):
+        q = jnp.asarray(
+            rng.normal(size=(1, 2, t, 64)).astype(np.float32)
+        )
+        k = jnp.asarray(
+            rng.normal(size=(1, 2, t, 64)).astype(np.float32)
+        )
+        v = jnp.asarray(
+            rng.normal(size=(1, 2, t, 64)).astype(np.float32)
+        )
+        pad = np.zeros((1, t), bool)
+        pad[0, :3] = True
+        f = flash_masked_attention(
+            q, k, v, scale=SCALE, attn_mask=None,
+            key_padding_mask=jnp.asarray(pad),
+            block_q=64, block_k=256, interpret=True,
+        )
+        d = dense_masked_attention(
+            q, k, v, scale=SCALE, attn_mask=None,
+            key_padding_mask=jnp.asarray(pad),
+        )
+        assert not np.isnan(np.asarray(f)).any()
+        np.testing.assert_allclose(
+            np.asarray(f), np.asarray(d), atol=2e-5
+        )

@@ -112,3 +112,66 @@ def test_param_sharding_rules():
         elif "embedding" in name:
             assert spec == jax.sharding.PartitionSpec(), (name, spec)
     assert n_model_sharded >= cfg.layers * 3
+
+
+def test_shard_map_loss_axis_equals_global():
+    """The explicit-collective path (loss_axis_name under shard_map)
+    must equal the XLA-partitioner path (global loss under jit)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    cfg, model, batch = _setup(batch_size=8)
+    batch_j = jax.tree.map(jnp.asarray, batch)
+    params = jax.jit(model.init)(jax.random.key(0), batch_j)
+    single = float(
+        jax.jit(lambda p, b: model.apply(p, b)["loss"])(
+            params, batch_j
+        )
+    )
+
+    from mca_tpu.config import get_model_config
+    from mca_tpu.models import build_model
+
+    mc = get_model_config(cfg)
+    mc["loss_axis_name"] = "data"
+    sharded_model = build_model(mc)
+    mesh = make_mesh(8, 1)
+
+    @jax.jit
+    def distributed(params, batch):
+        def inner(batch):
+            out = sharded_model.apply(params, batch)
+            # reference semantics: every worker computes the same
+            # global average over finite pair losses; the per-shard
+            # row-masked means differ, so average them sample-weighted
+            losses = out["losses"]
+            vals = jnp.stack(list(losses.values()))
+            finite = jnp.isfinite(vals)
+            # global mean of each pair loss across shards (each shard's
+            # value is already a mean over ITS selected rows; equal
+            # weighting holds when shards have equal counts, which the
+            # global-batch construction of the jit path also assumes)
+            g_vals = jax.lax.pmean(
+                jnp.where(finite, vals, 0.0), "data"
+            )
+            g_cnt = jax.lax.pmean(finite.astype(jnp.float32), "data")
+            per_pair = g_vals / jnp.maximum(g_cnt, 1e-9)
+            alive = g_cnt > 0
+            return jnp.where(
+                alive, per_pair, 0.0
+            ).sum() / jnp.maximum(alive.sum(), 1)
+
+        return shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P("data"),),
+            out_specs=P(),
+            check_vma=False,
+        )(batch)
+
+    sharded_batch = jax.tree.map(jnp.asarray, batch)
+    multi = float(distributed(params, sharded_batch))
+    # NOTE: row-masked means are weighted per-shard here vs per-row in
+    # the jit path; with this seed every shard has equal presence
+    # counts only approximately -> modest tolerance
+    np.testing.assert_allclose(multi, single, rtol=0.15)
