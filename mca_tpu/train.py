@@ -383,18 +383,47 @@ def make_eval_step(model):
     return eval_step
 
 
-def make_eval_step_scan(model):
-    """Evaluate K batches per launch; outputs stacked on axis 0."""
+def make_eval_step_scan(model, emb_names, mask_names, loss_names):
+    """Evaluate K batches per launch with PACKED outputs.
+
+    Returns (emb [K,E,B,D], masks [K,M,B], loss [K], pair_losses [K,L])
+    — a handful of buffers instead of ~80 per launch (remote-attached
+    chips pay per output handle, PERF.md).
+    """
 
     @jax.jit
     def eval_steps(params, batches):
         def body(carry, batch):
-            return carry, model.apply(params, batch)
+            out = model.apply(params, batch)
+            emb = jnp.stack([out[k] for k in emb_names])
+            msk = jnp.stack(
+                [out["modality_sample_mask"][k] for k in mask_names]
+            )
+            lv = jnp.stack(
+                [
+                    out["losses"][k].astype(jnp.float32)
+                    for k in loss_names
+                ]
+            )
+            return carry, (emb, msk, out["loss"], lv)
 
         _, outs = jax.lax.scan(body, None, batches)
         return outs
 
     return eval_steps
+
+
+def eval_output_names(model, model_config, params, batch):
+    """Static name layout of the packed eval outputs."""
+    shapes = jax.eval_shape(
+        lambda p, b: model.apply(p, b), params, batch
+    )
+    mask_names = tuple(sorted(shapes["modality_sample_mask"]))
+    loss_names = tuple(sorted(shapes["losses"]))
+    emb_names = list(mask_names)
+    if not model_config["eao"]:
+        emb_names.append("fusion")
+    return tuple(emb_names), mask_names, loss_names
 
 
 # ---------------------------------------------------------------------------
@@ -424,38 +453,48 @@ def run_eval_epoch(
     losses: Dict[str, float] = {}
     n_batches = 0
 
-    def consume(out) -> None:
+    eval_step, eval_steps, names, k_per_call = eval_step
+    emb_names, mask_names, loss_names = names
+
+    def consume(emb, msk, loss, lv) -> None:
         nonlocal n_batches
         n_batches += 1
         losses["total_loss"] = losses.get("total_loss", 0.0) + float(
-            out["loss"]
+            loss
         )
-        step_log = {"val_step_total_loss": float(out["loss"])}
-        for k, v in out["losses"].items():
+        step_log = {"val_step_total_loss": float(loss)}
+        for k, v in zip(loss_names, lv):
             losses[k] = losses.get(k, 0.0) + float(v)
             if "|" not in k:
                 step_log["val_step_" + k] = float(v)
         log.log(step_log, step=step)
-        sample_mask = out["modality_sample_mask"]
+        emb_by = dict(zip(emb_names, emb))
+        msk_by = dict(zip(mask_names, msk))
         for k, acc in unif.items():
             if k == "fusion":
-                acc.update(np.asarray(out["fusion"]))
+                acc.update(np.asarray(emb_by["fusion"]))
             else:
-                m = np.asarray(sample_mask[k])
-                acc.update(np.asarray(out[k])[m])
+                m = np.asarray(msk_by[k]).astype(bool)
+                acc.update(np.asarray(emb_by[k])[m])
         for k, acc in align.items():
-            m = np.asarray(sample_mask[k])
+            m = np.asarray(msk_by[k]).astype(bool)
             acc.update(
-                np.asarray(out[k])[m], np.asarray(out["fusion"])[m]
+                np.asarray(emb_by[k])[m],
+                np.asarray(emb_by["fusion"])[m],
             )
 
-    eval_step, eval_steps, k_per_call = eval_step
+    def consume_dict(out) -> None:
+        emb = [out[k] for k in emb_names]
+        msk = [out["modality_sample_mask"][k] for k in mask_names]
+        lv = [out["losses"][k] for k in loss_names]
+        consume(emb, msk, out["loss"], lv)
+
     chunk = []
 
     def flush(chunk):
         if len(chunk) == 1 or eval_steps is None:
             for b in chunk:
-                consume(
+                consume_dict(
                     jax.device_get(
                         eval_step(params, shard_batch(b, mesh))
                     )
@@ -464,9 +503,11 @@ def run_eval_epoch(
             stacked = shard_batch(
                 stack_batches(chunk), mesh, leading_scan_axis=True
             )
-            outs = jax.device_get(eval_steps(params, stacked))
+            embs, msks, ls, lvs = jax.device_get(
+                eval_steps(params, stacked)
+            )
             for i in range(len(chunk)):
-                consume(jax.tree.map(lambda x: x[i], outs))
+                consume(embs[i], msks[i], ls[i], lvs[i])
 
     for batch in eval_dl:
         chunk.append(batch)
@@ -619,6 +660,11 @@ def train(config: Config) -> str:
     metric_names = step_metric_names(
         model, tx, schedule, state, first_batch
     )
+    # eval-name layout needs the parameter TREE; capture before any
+    # flat-state conversion
+    eval_names = eval_output_names(
+        model, model_config, state["params"], first_batch
+    )
     unravel = None
     if flat_mode:
         flat0, unravel, flat_tx = make_flat_apparatus(
@@ -641,7 +687,10 @@ def train(config: Config) -> str:
         train_steps = None
     eval_step = (
         make_eval_step(model),
-        make_eval_step_scan(model) if steps_per_call > 1 else None,
+        make_eval_step_scan(model, *eval_names)
+        if steps_per_call > 1
+        else None,
+        eval_names,
         steps_per_call,
     )
 
