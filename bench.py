@@ -25,6 +25,7 @@ import time
 
 
 def main() -> None:
+    """Env overrides: BENCH_DATASET=tcga|cmu, BENCH_BATCH, BENCH_K."""
     import jax
     import jax.numpy as jnp
 
@@ -42,12 +43,55 @@ def main() -> None:
     )
     import __graft_entry__ as ge
 
-    cfg = training_config_from_dict(ge._tcga_config())
+    dataset = os.environ.get("BENCH_DATASET", "tcga")
+    batch_size = int(os.environ.get("BENCH_BATCH", "8"))
+    overrides = {"batch_size": batch_size}
+    if dataset == "cmu":
+        shapes = {
+            "COVAREP": (74, 1500),
+            "FACET": (35, 450),
+            "OpenFace": (713, 450),
+            "glove_vectors": (300, 50),
+        }
+        overrides["encoder_configs"] = {
+            m: {
+                "type": "EmbeddedSequenceEncoder",
+                "input_size": d,
+                "max_tokens": t,
+            }
+            for m, (d, t) in shapes.items()
+        }
+        overrides["modality_config"] = {
+            m: {
+                "type": "embedded_sequence",
+                "pad_len": t,
+                "data_col_name": "data",
+                "pad_token": -10000,
+                "embedding_size": d,
+            }
+            for m, (d, t) in shapes.items()
+        }
+        overrides["bimodal_contrastive"] = False
+        overrides["non_fusion_fcl"] = False
+    cfg = training_config_from_dict(ge._tcga_config(**overrides))
     model = build_model(get_model_config(cfg))
     widths = {m: c["pad_len"] for m, c in cfg.modality_config.items()}
-    samples = make_tcga_like(
-        cfg.batch_size, widths=widths, p_missing=0.25, seed=0
-    )
+    if dataset == "cmu":
+        from mca_tpu.data.synthetic import make_cmu_like
+
+        samples = make_cmu_like(
+            cfg.batch_size,
+            shapes={
+                m: (e["input_size"], e["max_tokens"])
+                for m, e in cfg.encoder_configs.to_plain().items()
+            },
+            p_missing=0.25,
+            seed=0,
+        )
+    else:
+        samples = make_tcga_like(
+            cfg.batch_size, widths=widths, p_missing=0.25, seed=0
+        )
     batch = MultimodalCollator(cfg.modality_config.to_plain())(samples)
     batch = jax.tree.map(jnp.asarray, batch)
 
@@ -58,7 +102,7 @@ def main() -> None:
     state = init_state(model, tx, batch, seed=0)
     # flat-state scan: K steps per launch, single-vector params/AdamW —
     # the production loop's fast path (see mca_tpu.train)
-    K = 32
+    K = int(os.environ.get("BENCH_K", "32"))
     names = step_metric_names(model, tx, schedule, state, batch)
     flat0, unravel, flat_tx = make_flat_apparatus(
         cfg, 1000, state["params"]
@@ -116,8 +160,9 @@ def main() -> None:
         json.dumps(
             {
                 "metric": (
-                    "TCGA_config1 MCA pretrain throughput "
-                    "(fwd+loss+bwd+AdamW, batch 8, seq 2548)"
+                    f"{dataset.upper()}_config1 MCA pretrain "
+                    f"throughput (fwd+loss+bwd+AdamW, batch "
+                    f"{cfg.batch_size}, seq {seq_len})"
                 ),
                 "value": round(tokens_per_sec, 1),
                 "unit": "tokens/sec/chip",
