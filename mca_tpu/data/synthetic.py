@@ -42,8 +42,15 @@ def make_tcga_like(
     p_missing: float = 0.0,
     pad_token: float = -10000.0,
     seed: int = 0,
+    clustered: bool = False,
 ) -> List[Dict[str, Any]]:
-    """List of sample dicts: ``{modality: {'values': [W]}, 'Labels': {...}}``."""
+    """List of sample dicts: ``{modality: {'values': [W]}, 'Labels': {...}}``.
+
+    ``clustered=True`` draws the shared latent from per-class Gaussian
+    clusters (like cancer types) instead of a continuous latent with
+    argmax labels — class structure then survives contrastive
+    pretraining and the probe has strong signal.
+    """
     rng = np.random.default_rng(seed)
     widths = widths or TCGA_MODALITIES
     maps = {
@@ -51,9 +58,18 @@ def make_tcga_like(
         for m, w in widths.items()
     }
     class_w = rng.normal(size=(latent_dim, n_classes)).astype(np.float32)
+    centers = 2.0 * rng.normal(
+        size=(n_classes, latent_dim)
+    ).astype(np.float32)
     samples = []
     for _ in range(n_samples):
-        z = rng.normal(size=(latent_dim,)).astype(np.float32)
+        if clustered:
+            cls = int(rng.integers(n_classes))
+            z = centers[cls] + 0.5 * rng.normal(
+                size=(latent_dim,)
+            ).astype(np.float32)
+        else:
+            z = rng.normal(size=(latent_dim,)).astype(np.float32)
         sample: Dict[str, Any] = {}
         for m, w in widths.items():
             if rng.random() < p_missing:
@@ -64,7 +80,9 @@ def make_tcga_like(
                 )
             sample[m] = {"values": vals}
         label = np.zeros((n_classes,), dtype=np.float32)
-        label[int(np.argmax(z @ class_w))] = 1.0
+        label[
+            cls if clustered else int(np.argmax(z @ class_w))
+        ] = 1.0
         sample["Labels"] = {"values": label}
         samples.append(sample)
     return samples

@@ -218,3 +218,14 @@ def test_embedded_collator_matches_reference(reference_path):
     np.testing.assert_array_equal(
         ours["attention_mask"], ref_out["attention_mask"].numpy()
     )
+
+
+def test_clustered_synthetic_labels():
+    from mca_tpu.data.synthetic import make_tcga_like
+
+    samples = make_tcga_like(
+        64, widths={"a": 6, "b": 4}, n_classes=3, clustered=True, seed=0
+    )
+    labels = np.stack([s["Labels"]["values"] for s in samples])
+    assert labels.sum() == 64  # one-hot
+    assert (labels.sum(axis=0) > 5).all()  # every class present
