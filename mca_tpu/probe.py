@@ -157,6 +157,39 @@ def log_rank_metrics(
     )
 
 
+def ridge_probe(
+    x_train: np.ndarray,
+    y_train: np.ndarray,
+    x_test: np.ndarray,
+    lam: float = 1e-3,
+) -> tuple:
+    """Closed-form regularised least-squares linear probe.
+
+    Extension over the reference (which only has SGD linear/MLP heads):
+    contrastive embeddings concentrate class signal in low-variance
+    directions that SGD-CE reaches slowly; the normal-equations solve
+    finds them directly and deterministically.
+    """
+    y2d = y_train if y_train.ndim > 1 else y_train[:, None]
+    # float64 throughout: the normal equations square the condition
+    # number and fp32 loses the low-variance discriminative directions
+    xb = np.concatenate(
+        [x_train, np.ones((len(x_train), 1))], axis=1
+    ).astype(np.float64)
+    w = np.linalg.solve(
+        xb.T @ xb + lam * np.eye(xb.shape[1]),
+        xb.T @ y2d.astype(np.float64),
+    )
+
+    def predict(x):
+        xb = np.concatenate(
+            [x, np.ones((len(x), 1))], axis=1
+        ).astype(np.float64)
+        return (xb @ w).astype(np.float32)
+
+    return predict(x_train), predict(x_test)
+
+
 def probe(config: Config) -> Dict[str, Any]:
     """Train the probe head; returns the final epoch's metrics."""
     d = config.embedding_dir
@@ -188,6 +221,46 @@ def probe(config: Config) -> Dict[str, Any]:
             num_labels = int(
                 max(y_train.max(), y_test.max())
             ) + 1
+
+    if config.model_type == "ridge":
+        y_fit = (
+            np.eye(num_labels, dtype=np.float32)[
+                y_train.astype(np.int64)
+            ]
+            if config.loss_type == "CE"
+            else y_train
+        )
+        tr_logits, te_logits = ridge_probe(
+            x_train, y_fit, x_test,
+            lam=float(config.get("ridge_lambda", 1e-3)),
+        )
+        record = {
+            "train_loss": float(
+                make_loss_fn(config.loss_type)(
+                    jnp.asarray(tr_logits), jnp.asarray(y_train)
+                )
+            ),
+            "eval_loss": float(
+                make_loss_fn(config.loss_type)(
+                    jnp.asarray(te_logits), jnp.asarray(y_test)
+                )
+            ),
+        }
+        for split, lg, y in (
+            ("train", tr_logits, y_train),
+            ("eval", te_logits, y_test),
+        ):
+            met = compute_suite(config.loss_type, lg, y)
+            record.update(
+                {
+                    f"{split}_{k}": v
+                    for k, v in met.items()
+                    if k != "cm"
+                }
+            )
+        log.log(record, step=0)
+        log.close()
+        return record
 
     head = ProbeHead(
         num_labels=num_labels,

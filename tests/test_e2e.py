@@ -203,3 +203,19 @@ def test_probe_ce_and_regression(inferred):
     pcfg2.rank_metrics = False
     m2 = probe(pcfg2)
     assert -1.0 <= m2["eval_PCC"] <= 1.0
+
+
+def test_probe_ridge(inferred):
+    icfg, root = inferred
+    from mca_tpu.probe import probe
+
+    pcfg = get_cfg_defaults_embedding_eval()
+    pcfg.embedding_dir = icfg.output_dir
+    pcfg.output_dir = str(root / "probe_ridge")
+    pcfg.task = -1
+    pcfg.loss_type = "CE"
+    pcfg.model_type = "ridge"
+    pcfg.rank_metrics = False
+    m = probe(pcfg)
+    assert 0.0 <= m["eval_accuracy"] <= 1.0
+    assert np.isfinite(m["train_loss"])
