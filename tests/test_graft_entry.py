@@ -21,6 +21,36 @@ def test_entry_traces():
     assert shape.shape == ()
 
 
+def test_dryrun_self_provisions_clean_env():
+    """The driver calls dryrun_multichip WITHOUT the pytest conftest env:
+    it must provision its own virtual mesh (VERDICT r1 item 1)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "MCA_DRYRUN_CHILD")
+    }
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__ as g; g.dryrun_multichip(8)",
+        ],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dryrun_multichip OK" in out.stdout
+
+
 def test_bench_json_contract():
     """bench.py must emit one JSON object with the driver's keys."""
     import json
