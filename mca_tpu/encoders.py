@@ -125,13 +125,14 @@ class PositionalEncoder(nn.Module):
         pe[:, 0::2] = np.sin(position * div)
         pe[:, 1::2] = np.cos(position * div)
         self.pe = jnp.asarray(pe)
+        self.drop = nn.Dropout(rate=self.dropout)
 
     def __call__(
         self, seq_len: int, deterministic: bool = True
     ) -> Array:
         pe = self.pe[:seq_len]
         if self.dropout > 0.0 and not deterministic:
-            pe = nn.Dropout(rate=self.dropout, deterministic=False)(pe)
+            pe = self.drop(pe, deterministic=False)
         return pe
 
 

@@ -270,7 +270,9 @@ def probe(config: Config) -> Dict[str, Any]:
     )
     loss_fn = make_loss_fn(config.loss_type)
     n_train = len(x_train)
-    steps_per_epoch = max(n_train // config.batch_size, 1)
+    # ceil: the reference's DataLoader keeps the remainder batch
+    # (lp_accel_gpu.py:100, no drop_last)
+    steps_per_epoch = max(-(-n_train // config.batch_size), 1)
     num_training_steps = config.epochs * steps_per_epoch
     schedule = hf_lr_schedule(
         config.lr_scheduler_type,

@@ -165,11 +165,28 @@ def init_state(
     }
 
 
-def _step_body(model, tx, schedule, state, batch):
+def _train_apply(model, params, batch, step, dropout_seed):
+    """Train-mode forward: ``deterministic=False`` with a per-step
+    dropout RNG, matching the reference's ``model.train()`` semantics
+    (ref train_accel_gpu.py trains in train mode, so any configured
+    encoder dropout — e.g. PatchEncoder's default 0.1, ref
+    encoders.py:266-271 — is live).  Encoders with ``dropout == 0``
+    never construct a Dropout module, so canonical TCGA/CMU numerics
+    are unchanged.  The key is folded with the step counter for
+    reproducibility across restarts."""
+    rng = jax.random.fold_in(jax.random.key(dropout_seed), step)
+    return model.apply(
+        params, batch, deterministic=False, rngs={"dropout": rng}
+    )
+
+
+def _step_body(model, tx, schedule, state, batch, dropout_seed=0):
     """grads + update + metric scalars for one batch."""
 
     def loss_fn(params):
-        out = model.apply(params, batch)
+        out = _train_apply(
+            model, params, batch, state["step"], dropout_seed
+        )
         return out["loss"], out
 
     (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -201,12 +218,14 @@ def _step_body(model, tx, schedule, state, batch):
     return new_state, metrics
 
 
-def make_train_step(model, tx, schedule):
+def make_train_step(model, tx, schedule, dropout_seed=0):
     """One jit-compiled step (single batch)."""
 
     @partial(jax.jit, donate_argnums=0)
     def train_step(state, batch):
-        return _step_body(model, tx, schedule, state, batch)
+        return _step_body(
+            model, tx, schedule, state, batch, dropout_seed
+        )
 
     return train_step
 
@@ -221,7 +240,7 @@ def step_metric_names(model, tx, schedule, state, batch):
     return tuple(sorted(shapes.keys()))
 
 
-def make_train_step_scan(model, tx, schedule, metric_names):
+def make_train_step_scan(model, tx, schedule, metric_names, dropout_seed=0):
     """K optimiser steps per executable launch.
 
     ``batches`` is a batch pytree with a leading [K] axis;
@@ -236,7 +255,9 @@ def make_train_step_scan(model, tx, schedule, metric_names):
     @partial(jax.jit, donate_argnums=0)
     def train_steps(state, batches):
         def body(st, batch):
-            ns, metrics = _step_body(model, tx, schedule, st, batch)
+            ns, metrics = _step_body(
+                model, tx, schedule, st, batch, dropout_seed
+            )
             packed = jnp.stack(
                 [
                     metrics[k].astype(jnp.float32)
@@ -323,9 +344,13 @@ def make_flat_apparatus(config: Config, num_training_steps: int, params):
     return flat0, unravel, optax.chain(*chain)
 
 
-def _flat_step_body(model, tx, schedule, unravel, state, batch):
+def _flat_step_body(
+    model, tx, schedule, unravel, state, batch, dropout_seed=0
+):
     def loss_fn(flat):
-        out = model.apply(unravel(flat), batch)
+        out = _train_apply(
+            model, unravel(flat), batch, state["step"], dropout_seed
+        )
         return out["loss"], out
 
     (loss, out), gflat = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -356,13 +381,13 @@ def _flat_step_body(model, tx, schedule, unravel, state, batch):
 
 
 def make_flat_train_step_scan(
-    model, tx, schedule, unravel, metric_names
+    model, tx, schedule, unravel, metric_names, dropout_seed=0
 ):
     @partial(jax.jit, donate_argnums=0)
     def train_steps(state, batches):
         def body(st, batch):
             ns, metrics = _flat_step_body(
-                model, tx, schedule, unravel, st, batch
+                model, tx, schedule, unravel, st, batch, dropout_seed
             )
             packed = jnp.stack(
                 [metrics[k].astype(jnp.float32) for k in metric_names]
@@ -656,7 +681,9 @@ def train(config: Config) -> str:
         and bool(config.get("flat_state", True))
         and int(config.mesh_model) <= 1
     )
-    train_step = make_train_step(model, tx, schedule)
+    train_step = make_train_step(
+        model, tx, schedule, dropout_seed=config.seed
+    )
     metric_names = step_metric_names(
         model, tx, schedule, state, first_batch
     )
@@ -676,12 +703,17 @@ def train(config: Config) -> str:
             "step": state["step"],
         }
         train_steps = make_flat_train_step_scan(
-            model, flat_tx, schedule, unravel, metric_names
+            model,
+            flat_tx,
+            schedule,
+            unravel,
+            metric_names,
+            dropout_seed=config.seed,
         )
         unravel_jit = jax.jit(unravel)
     elif steps_per_call > 1:
         train_steps = make_train_step_scan(
-            model, tx, schedule, metric_names
+            model, tx, schedule, metric_names, dropout_seed=config.seed
         )
     else:
         train_steps = None
