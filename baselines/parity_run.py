@@ -194,6 +194,8 @@ def torch_infer(ref, batches, out_dir, split):
                 out = ref(to_torch(batch))
                 out.pop("loss")
                 out.pop("losses")
+                out.pop("fcl_loss", None)
+                out.pop("no-fcl_loss", None)
                 mm = out.pop("modality_sample_mask")
                 for k, v in out.items():
                     embeddings[k].append(v.detach().cpu())
@@ -422,7 +424,9 @@ def main():
     cfg.clip = CLIP
     cfg.output_dir = args.out
     mc = get_model_config(cfg)
-    collator = MultimodalCollator(cfg.modality_config.to_plain())
+    collator = MultimodalCollator(
+        cfg.modality_config.to_plain(), labels="Labels"
+    )
 
     train_samples, eval_samples = build_dataset()
     epochs = max(int(EPOCHS * args.steps_scale), 1)
