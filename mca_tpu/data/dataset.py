@@ -164,13 +164,79 @@ def setup_data(
     return dataset
 
 
+def _columns_to_rows(cols: Dict[str, Any], n: int) -> list:
+    """HF batched access returns column-oriented (possibly nested)
+    dicts; the collators want per-sample dicts."""
+
+    def row(v: Any, j: int) -> Any:
+        if isinstance(v, dict):
+            return {k: row(x, j) for k, x in v.items()}
+        return v[j]
+
+    return [{k: row(v, j) for k, v in cols.items()} for j in range(n)]
+
+
+class _PrefetchIterator:
+    """Background-thread batch producer with a bounded queue.
+
+    Host collation overlaps device compute (the reference gets this
+    from DataLoader ``num_workers=8, prefetch_factor=4``,
+    ref train_accel_gpu.py:70); producer exceptions re-raise at the
+    consumer.  A thread (not a process) suffices: arrow decode and the
+    numpy/C++ collators release the GIL for the bulk of the work.
+    """
+
+    _DONE = object()
+
+    def __init__(self, produce, depth: int):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err = None
+
+        def run():
+            try:
+                for item in produce():
+                    self._q.put(item)
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                self._err = e
+            finally:
+                self._q.put(self._DONE)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._DONE:
+            self._thread.join()
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
 class BatchedLoader:
-    """Minimal static-shape batch iterator over an HF dataset split.
+    """Static-shape batch iterator over an HF dataset split.
 
     Replaces the reference's torch DataLoader: applies the
     MultimodalCollator to fixed-size batches and (like the reference's
     infer path, ``infer_accel_gpu.py:70-71``) always drops the last
     partial batch so every jit trace sees the same shapes.
+
+    Scaling knobs (CMU streams 38.2 GB in the reference — too big to
+    materialise):
+
+    - ``preload=True`` decodes every sample once up front (fastest for
+      TCGA-scale data that fits in host RAM);
+    - ``preload=False`` streams batches out-of-core with ONE batched
+      arrow decode per batch (``dataset[[i...]]``), not per item;
+    - ``prefetch > 0`` collates ahead on a background thread so host
+      IO overlaps device compute.
     """
 
     def __init__(
@@ -182,6 +248,7 @@ class BatchedLoader:
         seed: int = 0,
         drop_last: bool = True,
         preload: bool = True,
+        prefetch: int = 0,
     ):
         self.dataset = dataset
         self.collator = collator
@@ -189,6 +256,7 @@ class BatchedLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        self.prefetch = int(prefetch)
         self._epoch = 0
         # HF per-item access decodes arrow every time; materialising
         # the samples once amortises it across epochs (TCGA-scale
@@ -208,7 +276,13 @@ class BatchedLoader:
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
 
-    def __iter__(self):
+    def _batch_samples(self, idx) -> list:
+        if self._items is not None:
+            return [self._items[int(i)] for i in idx]
+        cols = self.dataset[[int(i) for i in idx]]
+        return _columns_to_rows(cols, len(idx))
+
+    def _produce(self):
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -217,10 +291,11 @@ class BatchedLoader:
         usable = (
             n - n % self.batch_size if self.drop_last else n
         )
-        source = (
-            self._items if self._items is not None else self.dataset
-        )
         for start in range(0, usable, self.batch_size):
             idx = order[start : start + self.batch_size]
-            samples = [source[int(i)] for i in idx]
-            yield self.collator(samples)
+            yield self.collator(self._batch_samples(idx))
+
+    def __iter__(self):
+        if self.prefetch > 0:
+            return _PrefetchIterator(self._produce, self.prefetch)
+        return self._produce()

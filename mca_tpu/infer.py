@@ -131,14 +131,23 @@ def infer(config: Config) -> str:
     collator = MultimodalCollator(mc, labels=config.label_col)
 
     preload = bool(config.get("preload_dataset", True))
+    steps_per_call = int(config.get("steps_per_call", 0))
+    if steps_per_call <= 0:
+        steps_per_call = 1 if jax.default_backend() == "cpu" else 8
+    prefetch = int(
+        config.get(
+            "prefetch_batches",
+            0 if steps_per_call == 1 else 2 * steps_per_call,
+        )
+    )
     loaders = {
         "train": BatchedLoader(
             datasets["train"], collator, config.batch_size,
-            preload=preload,
+            preload=preload, prefetch=prefetch,
         ),
         "eval": BatchedLoader(
             datasets["test"], collator, config.batch_size,
-            preload=preload,
+            preload=preload, prefetch=prefetch,
         ),
     }
 
@@ -195,10 +204,6 @@ def infer(config: Config) -> str:
 
         _, outs = jax.lax.scan(body, None, batches)
         return outs  # ([K, E, B, D], [K, M, B], [K])
-
-    steps_per_call = int(config.get("steps_per_call", 0))
-    if steps_per_call <= 0:
-        steps_per_call = 1 if jax.default_backend() == "cpu" else 8
 
     # the reference reads batch['Labels']['data'] (infer_accel_gpu.py:105);
     # TCGA-style datasets store labels under 'values'

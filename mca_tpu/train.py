@@ -612,7 +612,22 @@ def train(config: Config) -> str:
         if hasattr(config.modality_config, "to_plain")
         else config.modality_config
     )
+    steps_per_call = int(config.get("steps_per_call", 0))
+    if steps_per_call <= 0:
+        # remote-attached TPUs pay seconds of dispatch per launch;
+        # amortise with multi-step scan calls there, stay single-step
+        # on CPU (test) backends to keep compiles cheap
+        steps_per_call = 1 if jax.default_backend() == "cpu" else 32
+
     preload = bool(config.get("preload_dataset", True))
+    # background collation ahead of the device (one K-step launch's
+    # worth + slack); disabled on single-step CPU runs
+    prefetch = int(
+        config.get(
+            "prefetch_batches",
+            0 if steps_per_call == 1 else 2 * steps_per_call,
+        )
+    )
     train_dl = BatchedLoader(
         datasets["train"],
         collator,
@@ -620,12 +635,14 @@ def train(config: Config) -> str:
         shuffle=True,
         seed=config.seed,
         preload=preload,
+        prefetch=prefetch,
     )
     eval_dl = BatchedLoader(
         datasets["test"],
         collator,
         config.batch_size,
         preload=preload,
+        prefetch=prefetch,
     )
     num_training_steps = config.epochs * len(train_dl)
     schedule = hf_lr_schedule(
@@ -668,12 +685,6 @@ def train(config: Config) -> str:
     )
     meter = ThroughputMeter(tokens_per_step)
 
-    steps_per_call = int(config.get("steps_per_call", 0))
-    if steps_per_call <= 0:
-        # remote-attached TPUs pay seconds of dispatch per launch;
-        # amortise with multi-step scan calls there, stay single-step
-        # on CPU (test) backends to keep compiles cheap
-        steps_per_call = 1 if jax.default_backend() == "cpu" else 32
     # flat single-vector state: fastest path, pure-DP only (tensor
     # parallelism needs the parameter tree structure)
     flat_mode = (

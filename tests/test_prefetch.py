@@ -1,0 +1,84 @@
+"""Streaming input pipeline (VERDICT r1 item 6): background-thread
+prefetch and out-of-core batched arrow decode must produce the exact
+same batch stream as the preloaded synchronous path."""
+
+import numpy as np
+import pytest
+
+from mca_tpu.data.collators import MultimodalCollator
+from mca_tpu.data.dataset import BatchedLoader
+from mca_tpu.data.synthetic import make_tcga_like, tiny_config, to_hf_dataset
+
+
+@pytest.fixture(scope="module")
+def ds_and_collator(tmp_path_factory):
+    widths = {"gene": 12, "protein": 8, "methylation": 10, "mirna": 6}
+    samples = make_tcga_like(37, widths=widths, p_missing=0.2, seed=0)
+    ds = to_hf_dataset(samples)
+    cfg = tiny_config("tcga", widths=widths)
+    collator = MultimodalCollator(cfg["modality_config"])
+    return ds, collator
+
+
+def _materialise(loader, epochs=2):
+    out = []
+    for e in range(epochs):
+        loader.set_epoch(e)
+        out.append([b for b in loader])
+    return out
+
+
+def _assert_same(a, b):
+    assert len(a) == len(b)
+    for ea, eb in zip(a, b):
+        assert len(ea) == len(eb)
+        for ba, bb in zip(ea, eb):
+            assert set(ba) == set(bb)
+            for m in ba:
+                for f in ba[m]:
+                    np.testing.assert_array_equal(ba[m][f], bb[m][f])
+
+
+def test_prefetch_matches_sync(ds_and_collator):
+    ds, collator = ds_and_collator
+    kw = dict(batch_size=8, shuffle=True, seed=3)
+    sync = BatchedLoader(ds, collator, **kw)
+    pre = BatchedLoader(ds, collator, prefetch=4, **kw)
+    _assert_same(_materialise(sync), _materialise(pre))
+
+
+def test_out_of_core_matches_preload(ds_and_collator):
+    ds, collator = ds_and_collator
+    kw = dict(batch_size=8, shuffle=True, seed=3)
+    a = BatchedLoader(ds, collator, preload=True, **kw)
+    b = BatchedLoader(ds, collator, preload=False, **kw)
+    c = BatchedLoader(ds, collator, preload=False, prefetch=4, **kw)
+    ma = _materialise(a)
+    _assert_same(ma, _materialise(b))
+    _assert_same(ma, _materialise(c))
+
+
+def test_out_of_core_handles_missing_modalities(ds_and_collator):
+    """None-valued modalities (dropped/missing) must survive the
+    column->row conversion of batched arrow access."""
+    ds, collator = ds_and_collator
+    loader = BatchedLoader(ds, collator, batch_size=8, preload=False)
+    batch = next(iter(loader))
+    # p_missing=0.2 -> some fully padded rows must exist somewhere
+    any_padded = any(
+        bool(np.all(batch[m]["attention_mask"][i] == 1))
+        for m in batch
+        for i in range(8)
+    )
+    assert any_padded
+
+
+def test_prefetch_propagates_errors(ds_and_collator):
+    ds, _ = ds_and_collator
+
+    def bad_collator(samples):
+        raise RuntimeError("boom")
+
+    loader = BatchedLoader(ds, bad_collator, batch_size=8, prefetch=2)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader)
