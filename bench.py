@@ -139,6 +139,22 @@ def main() -> None:
     tokens_per_step = cfg.batch_size * seq_len
     tokens_per_sec = tokens_per_step / dt
 
+    # MFU from the compiled executable's own FLOP count (XLA cost
+    # analysis; counts the block-sparse pallas tiles the kernel
+    # actually runs). v5e bf16 peak: 197 TFLOP/s/chip.
+    flops_per_step = mfu = None
+    try:
+        cost = train_steps.lower(state, stacked).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        if cost and cost.get("flops"):
+            flops_per_step = float(cost["flops"]) / K
+            peak = 197e12 if "v5 lite" in str(jax.devices()[0]) else None
+            if peak:
+                mfu = flops_per_step / dt / peak
+    except Exception:  # cost analysis is best-effort, never fail bench
+        pass
+
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "BASELINE_MEASURED.json",
@@ -176,6 +192,12 @@ def main() -> None:
                 "precision": cfg.precision,
                 "attention_impl": cfg.attention_impl,
                 "loss_value": float(metrics["total_loss"]),
+                "tflops_per_step": (
+                    round(flops_per_step / 1e12, 3)
+                    if flops_per_step
+                    else None
+                ),
+                "mfu": round(mfu, 4) if mfu else None,
                 "baseline_note": baseline_note,
             }
         )

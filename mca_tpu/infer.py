@@ -133,7 +133,7 @@ def infer(config: Config) -> str:
     preload = bool(config.get("preload_dataset", True))
     steps_per_call = int(config.get("steps_per_call", 0))
     if steps_per_call <= 0:
-        steps_per_call = 1 if jax.default_backend() == "cpu" else 8
+        steps_per_call = 1 if jax.default_backend() == "cpu" else 32
     prefetch = int(
         config.get(
             "prefetch_batches",
@@ -217,39 +217,23 @@ def infer(config: Config) -> str:
         embeddings = defaultdict(list)
         masks = defaultdict(list)
         labels = []
-        total_loss = 0.0
-        n = 0
-
-        def consume(emb, msk, loss) -> None:
-            nonlocal total_loss, n
-            total_loss += float(loss)
-            n += 1
-            for i, k in enumerate(emb_keys):
-                key = (
-                    combo_str_to_frozenset(k)
-                    if str(k).startswith("combo:")
-                    else k
-                )
-                embeddings[key].append(np.asarray(emb[i]))
-            for i, k in enumerate(mask_keys):
-                masks[k].append(np.asarray(msk[i]))
+        # launches keep their outputs on device; ONE device_get at the
+        # end of the split batches every transfer into a single sync
+        # (per-chunk syncs serialise against dispatch, PERF.md)
+        device_chunks = []
 
         def flush(chunk) -> None:
             if len(chunk) == 1 or steps_per_call == 1:
                 for b in chunk:
-                    emb, msk, loss = jax.device_get(
-                        forward(params, shard_batch(b, mesh))
+                    emb, msk, loss = forward(
+                        params, shard_batch(b, mesh)
                     )
-                    consume(emb, msk, loss)
+                    device_chunks.append((emb[None], msk[None], loss[None]))
             else:
                 stacked = shard_batch(
                     stack_batches(chunk), mesh, leading_scan_axis=True
                 )
-                embs, msks, ls = jax.device_get(
-                    forward_scan(params, stacked)
-                )
-                for i in range(len(chunk)):
-                    consume(embs[i], msks[i], ls[i])
+                device_chunks.append(forward_scan(params, stacked))
 
         chunk = []
         for batch in dl:
@@ -261,6 +245,23 @@ def infer(config: Config) -> str:
                 chunk = []
         if chunk:
             flush(chunk)
+
+        host_chunks = jax.device_get(device_chunks)
+        total_loss = 0.0
+        n = 0
+        for embs, msks, ls in host_chunks:
+            for i in range(len(ls)):
+                total_loss += float(ls[i])
+                n += 1
+                for j, k in enumerate(emb_keys):
+                    key = (
+                        combo_str_to_frozenset(k)
+                        if str(k).startswith("combo:")
+                        else k
+                    )
+                    embeddings[key].append(np.asarray(embs[i][j]))
+                for j, k in enumerate(mask_keys):
+                    masks[k].append(np.asarray(msks[i][j]))
         logger.info(
             "%s split: %d batches, mean loss %.4f",
             split,

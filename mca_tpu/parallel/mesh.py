@@ -40,6 +40,16 @@ def make_mesh(
         if batch_size is not None:
             while batch_size % data:
                 data -= 1
+        if data * model < len(devices):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "auto mesh clamped to %dx%d on %d devices (batch %s "
+                "not divisible by the full data axis) — %d devices "
+                "idle; pick a batch divisible by %d to use them",
+                data, model, len(devices), batch_size,
+                len(devices) - data * model, len(devices) // model,
+            )
     assert data * model <= len(devices), (
         f"mesh {data}x{model} > {len(devices)} devices"
     )

@@ -43,7 +43,6 @@ from mca_tpu.config import Config, get_model_config, training_config
 from mca_tpu.data.collators import MultimodalCollator
 from mca_tpu.data.dataset import BatchedLoader, setup_data
 from mca_tpu.losses import LOGIT_SCALE_MAX, LOGIT_SCALE_MIN
-from mca_tpu.metrics import MetricAccumulator
 from mca_tpu.models import build_model
 from mca_tpu.parallel.mesh import make_mesh, shard_batch
 from mca_tpu.parallel.sharding import shard_params
@@ -399,11 +398,22 @@ def make_flat_train_step_scan(
     return train_steps
 
 
-def make_eval_step(model):
+def make_eval_step(model, emb_names, mask_names, loss_names):
+    """Single-batch eval with the same PACKED outputs as the scan path
+    (4 buffers instead of ~80 — remote-attached chips pay per output
+    handle, PERF.md)."""
+
     @jax.jit
     def eval_step(params, batch):
         out = model.apply(params, batch)
-        return out
+        emb = jnp.stack([out[k] for k in emb_names])
+        msk = jnp.stack(
+            [out["modality_sample_mask"][k] for k in mask_names]
+        )
+        lv = jnp.stack(
+            [out["losses"][k].astype(jnp.float32) for k in loss_names]
+        )
+        return emb, msk, out["loss"], lv
 
     return eval_step
 
@@ -467,73 +477,37 @@ def run_eval_epoch(
     step: int,
 ) -> None:
     """Eval loop with the reference's metric names
-    (train_accel_gpu.py:137-184)."""
-    modality_names = list(config.modality_config.keys())
-    unif = {k: MetricAccumulator() for k in modality_names}
-    if not model_config["eao"]:
-        unif["fusion"] = MetricAccumulator()
-        align = {k: MetricAccumulator() for k in modality_names}
-    else:
-        align = {}
-    losses: Dict[str, float] = {}
-    n_batches = 0
+    (train_accel_gpu.py:137-184).
+
+    All launches keep their outputs ON DEVICE; uniformity/alignment
+    reduce in one jit call (:mod:`mca_tpu.eval_metrics`) and a single
+    ``device_get`` fetches scalars + per-step losses — no per-chunk
+    host syncs (VERDICT r1 item 8).
+    """
+    from mca_tpu.eval_metrics import epoch_metrics
 
     eval_step, eval_steps, names, k_per_call = eval_step
     emb_names, mask_names, loss_names = names
+    emb_chunks, msk_chunks, loss_chunks, lv_chunks = [], [], [], []
 
-    def consume(emb, msk, loss, lv) -> None:
-        nonlocal n_batches
-        n_batches += 1
-        losses["total_loss"] = losses.get("total_loss", 0.0) + float(
-            loss
-        )
-        step_log = {"val_step_total_loss": float(loss)}
-        for k, v in zip(loss_names, lv):
-            losses[k] = losses.get(k, 0.0) + float(v)
-            if "|" not in k:
-                step_log["val_step_" + k] = float(v)
-        log.log(step_log, step=step)
-        emb_by = dict(zip(emb_names, emb))
-        msk_by = dict(zip(mask_names, msk))
-        for k, acc in unif.items():
-            if k == "fusion":
-                acc.update(np.asarray(emb_by["fusion"]))
-            else:
-                m = np.asarray(msk_by[k]).astype(bool)
-                acc.update(np.asarray(emb_by[k])[m])
-        for k, acc in align.items():
-            m = np.asarray(msk_by[k]).astype(bool)
-            acc.update(
-                np.asarray(emb_by[k])[m],
-                np.asarray(emb_by["fusion"])[m],
-            )
-
-    def consume_dict(out) -> None:
-        emb = [out[k] for k in emb_names]
-        msk = [out["modality_sample_mask"][k] for k in mask_names]
-        lv = [out["losses"][k] for k in loss_names]
-        consume(emb, msk, out["loss"], lv)
-
-    chunk = []
+    def keep(outs) -> None:
+        e, m, lo, lv = outs
+        emb_chunks.append(e)
+        msk_chunks.append(m)
+        loss_chunks.append(lo)
+        lv_chunks.append(lv)
 
     def flush(chunk):
         if len(chunk) == 1 or eval_steps is None:
             for b in chunk:
-                consume_dict(
-                    jax.device_get(
-                        eval_step(params, shard_batch(b, mesh))
-                    )
-                )
+                keep(eval_step(params, shard_batch(b, mesh)))
         else:
             stacked = shard_batch(
                 stack_batches(chunk), mesh, leading_scan_axis=True
             )
-            embs, msks, ls, lvs = jax.device_get(
-                eval_steps(params, stacked)
-            )
-            for i in range(len(chunk)):
-                consume(embs[i], msks[i], ls[i], lvs[i])
+            keep(eval_steps(params, stacked))
 
+    chunk = []
     for batch in eval_dl:
         chunk.append(batch)
         if len(chunk) == k_per_call:
@@ -541,39 +515,56 @@ def run_eval_epoch(
             chunk = []
     if chunk:
         flush(chunk)
-    if not n_batches:
+    if not emb_chunks:
         return
-    epoch_log = {
-        "val_epoch_" + k: v / n_batches
-        for k, v in losses.items()
-        if "|" not in k
-    }
-    for norm, prefix in ((False, ""), (True, "norm_")):
+
+    fusion = not model_config["eao"]
+    losses, lvs, unif, align, counts = jax.device_get(
+        epoch_metrics(
+            tuple(emb_chunks),
+            tuple(msk_chunks),
+            tuple(loss_chunks),
+            tuple(lv_chunks),
+            emb_names=emb_names,
+            mask_names=mask_names,
+            fusion=fusion,
+        )
+    )
+
+    plain_loss = [
+        (j, k) for j, k in enumerate(loss_names) if "|" not in k
+    ]
+    for i in range(len(losses)):
+        step_log = {"val_step_total_loss": float(losses[i])}
+        for j, k in plain_loss:
+            step_log["val_step_" + k] = float(lvs[i, j])
+        log.log(step_log, step=step)
+
+    epoch_log = {"val_epoch_total_loss": float(losses.mean())}
+    for j, k in plain_loss:
+        epoch_log["val_epoch_" + k] = float(lvs[:, j].mean())
+    for variant, prefix in (("raw", ""), ("norm", "norm_")):
         u = {
-            f"val_epoch_{prefix}uniformity_{k}": acc.compute_uniformity(
-                norm=norm
-            )
-            for k, acc in unif.items()
-            if acc
+            f"val_epoch_{prefix}uniformity_{k}": float(v[variant])
+            for k, v in unif.items()
+            if counts[k] > 0
         }
         epoch_log.update(u)
         if u:
+            # 'unformity' typo preserved from the reference's log keys
             epoch_log[f"val_epoch_{prefix}unformity_avg"] = float(
                 np.mean(list(u.values()))
             )
-        if align:
-            a = {
-                f"val_epoch_{prefix}alignment_{k}": acc.compute_alignment(
-                    norm=norm
-                )
-                for k, acc in align.items()
-                if acc
-            }
-            epoch_log.update(a)
-            if a:
-                epoch_log[f"val_epoch_{prefix}alignment_avg"] = float(
-                    np.mean(list(a.values()))
-                )
+        a = {
+            f"val_epoch_{prefix}alignment_{k}": float(v[variant])
+            for k, v in align.items()
+            if counts[k] > 0
+        }
+        epoch_log.update(a)
+        if a:
+            epoch_log[f"val_epoch_{prefix}alignment_avg"] = float(
+                np.mean(list(a.values()))
+            )
     log.log(epoch_log, step=step)
 
 
@@ -729,7 +720,7 @@ def train(config: Config) -> str:
     else:
         train_steps = None
     eval_step = (
-        make_eval_step(model),
+        make_eval_step(model, *eval_names),
         make_eval_step_scan(model, *eval_names)
         if steps_per_call > 1
         else None,
