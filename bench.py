@@ -139,20 +139,46 @@ def main() -> None:
     tokens_per_step = cfg.batch_size * seq_len
     tokens_per_sec = tokens_per_step / dt
 
-    # MFU from the compiled executable's own FLOP count (XLA cost
-    # analysis; counts the block-sparse pallas tiles the kernel
-    # actually runs). v5e bf16 peak: 197 TFLOP/s/chip.
+    # MFU from an analytic FLOP model (XLA cost_analysis does not see
+    # inside pallas custom calls). Counts projections, GEGLU FF, value
+    # encoders, and the attention tiles the block-sparse kernel
+    # actually visits; bwd = 2x fwd for matmuls. 2*M*N*K convention.
+    # v5e bf16 peak: 197 TFLOP/s/chip.
     flops_per_step = mfu = None
     try:
-        cost = train_steps.lower(state, stacked).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        if cost and cost.get("flops"):
-            flops_per_step = float(cost["flops"]) / K
-            peak = 197e12 if "v5 lite" in str(jax.devices()[0]) else None
-            if peak:
-                mfu = flops_per_step / dt / peak
-    except Exception:  # cost analysis is best-effort, never fail bench
+        from mca_tpu import masks as masks_lib
+
+        mc = get_model_config(cfg)
+        D = mc["dim"]
+        B, depth = cfg.batch_size, mc["depth"]
+        H, dh = mc["heads"], mc["dim_head"]
+        token_dims = [
+            int(e["max_tokens"])
+            for e in cfg.encoder_configs.values()
+        ]
+        ms = masks_lib.build_masks(
+            token_dims,
+            int(cfg.num_fusion_tokens),
+            list(cfg.fusion_combos),
+            zorro=bool(cfg.zorro),
+            fcl=bool(cfg.get("fcl", False)),
+            no_fusion=bool(cfg.get("no_fusion", False)),
+        )
+        T = ms.seq_len
+        # useful attention FLOPs only (unmasked score entries) — block-
+        # independent, so bigger tiles don't inflate MFU with the
+        # wasted compute they carry
+        n_unmasked = int((~np.asarray(ms.attn_mask, bool)).sum())
+        proj = 2 * B * T * D * (H * dh * 4)  # to_q + to_kv(2x) + out
+        attn = B * H * 4 * dh * n_unmasked  # QK^T + AV
+        inner = int(D * mc["ff_mult"] * 2 / 3)
+        ff = 2 * B * T * (D * 2 * inner + inner * D)
+        enc = 2 * B * sum(token_dims) * D * (D + 2)  # value encoders
+        fwd = depth * (proj + attn + ff) + enc
+        flops_per_step = 3.0 * fwd  # fwd + bwd(2x)
+        if "v5 lite" in str(jax.devices()[0]):
+            mfu = flops_per_step / dt / 197e12
+    except Exception:  # analytic model is best-effort, never fail bench
         pass
 
     baseline_path = os.path.join(

@@ -505,11 +505,22 @@ def flash_masked_attention(
     scale: float,
     attn_mask: Optional[np.ndarray] = None,
     key_padding_mask=None,
-    block_q: int = 256,
-    block_k: int = 512,  # best of the v5e sweep at TCGA scale (PERF.md)
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: bool = False,
 ):
-    """Drop-in for dense_masked_attention with a STATIC numpy mask."""
+    """Drop-in for dense_masked_attention with a STATIC numpy mask.
+
+    Default block shape is the best of the v5e full-step sweep at TCGA
+    scale (PERF.md); override per-run with ``MCA_FLASH_BLOCK_Q`` /
+    ``MCA_FLASH_BLOCK_K`` (used by the tuning sweeps).
+    """
+    import os
+
+    if block_q is None:
+        block_q = int(os.environ.get("MCA_FLASH_BLOCK_Q", "512"))
+    if block_k is None:
+        block_k = int(os.environ.get("MCA_FLASH_BLOCK_K", "1024"))
     if attn_mask is None:
         attn_mask = np.zeros((q.shape[2], q.shape[2]), bool)
     attn_mask = np.asarray(attn_mask, bool)
