@@ -200,6 +200,85 @@ def _dq_kernel(
         dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
 
 
+def _fused_bwd_kernel(
+    q_of, kv_of,
+    q_ref, k_ref, v_ref, mask_ref, pad_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, scale: float, block_q: int,
+):
+    """Single kv-major pass computing dq, dk and dv together.
+
+    The split backward (``_dq_kernel`` + ``_dkv_kernel``) recomputes
+    the tile scores and probabilities twice (7 MXU dots per tile and
+    two exp sweeps); this kernel computes them once (5 dots, one exp).
+    dk/dv accumulate in per-kv-block scratch exactly like
+    ``_dkv_kernel``; dq accumulates into a full-length fp32 *output*
+    block whose index depends only on the batch-head, so it stays
+    VMEM-resident across the whole inner grid (read-modify-write with
+    a dynamic row slice at ``q_of[t] * block_q``) and is flushed to
+    HBM once per batch-head.
+    """
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+    kv_first = jnp.logical_or(
+        t == 0, kv_of[t] != kv_of[jnp.maximum(t - 1, 0)]
+    )
+    kv_last = jnp.logical_or(
+        t == nt - 1, kv_of[t] != kv_of[jnp.minimum(t + 1, nt - 1)]
+    )
+
+    @pl.when(t == 0)
+    def _():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    @pl.when(kv_first)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
+    s = (
+        jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+    blocked = (mask_ref[:] != 0) | (pad_ref[0][:1, :] != 0)
+    s = jnp.where(blocked, NEG_INF, s)
+    p = jnp.exp(s - lse)
+    p = jnp.where(blocked, 0.0, p)
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)
+    dk_scr[:] = dk_scr[:] + scale * jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rows = pl.dslice(q_of[t] * block_q, block_q)
+    dq_ref[0, rows, :] = dq_ref[0, rows, :] + scale * jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kv_last)
+    def _():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
 def _dkv_kernel(
     q_of, kv_of,
     q_ref, k_ref, v_ref, mask_ref, pad_ref, do_ref, lse_ref, delta_ref,
@@ -279,6 +358,7 @@ def make_flash_attention(
     scale: float,
     block_q: int = 256,
     block_k: int = 512,
+    bwd_impl: str = "fused",
     interpret: bool = False,
 ):
     """Build a flash-attention fn for one static mask.
@@ -462,6 +542,79 @@ def make_flash_attention(
           jnp.asarray(mask8), pad8, do, lse, delta)
         return dq, dk, dv
 
+    def _bwd_call_fused(q, k, v, pad8, do, lse, delta, h):
+        bh = q.shape[0]
+        d = q.shape[-1]
+        lse = jnp.broadcast_to(lse[:, :, None], (bh, tq, 8))
+        delta = jnp.broadcast_to(delta[:, :, None], (bh, tq, 8))
+        in_specs = [
+            pl.BlockSpec(
+                (1, block_q, d), lambda b, t, qo, ko: (b, qo[t], 0)
+            ),
+            pl.BlockSpec(
+                (1, block_k, d), lambda b, t, qo, ko: (b, ko[t], 0)
+            ),
+            pl.BlockSpec(
+                (1, block_k, d), lambda b, t, qo, ko: (b, ko[t], 0)
+            ),
+            pl.BlockSpec(
+                (block_q, block_k),
+                lambda b, t, qo, ko: (qo[t], ko[t]),
+            ),
+            pl.BlockSpec(
+                (1, 8, block_k),
+                lambda b, t, qo, ko: (b // h, 0, ko[t]),
+            ),
+            pl.BlockSpec(
+                (1, block_q, d), lambda b, t, qo, ko: (b, qo[t], 0)
+            ),
+            pl.BlockSpec(
+                (1, block_q, 8),
+                lambda b, t, qo, ko: (b, qo[t], 0),
+            ),
+            pl.BlockSpec(
+                (1, block_q, 8),
+                lambda b, t, qo, ko: (b, qo[t], 0),
+            ),
+        ]
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(
+                _fused_bwd_kernel, scale=scale, block_q=block_q
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(bh, n_tiles),
+                in_specs=in_specs,
+                out_specs=[
+                    # dq: full-length fp32 block, resident for the
+                    # whole inner grid (index depends on b only)
+                    pl.BlockSpec(
+                        (1, tq, d), lambda b, t, qo, ko: (b, 0, 0)
+                    ),
+                    pl.BlockSpec(
+                        (1, block_k, d),
+                        lambda b, t, qo, ko: (b, ko[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, block_k, d),
+                        lambda b, t, qo, ko: (b, ko[t], 0),
+                    ),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((block_k, d), jnp.float32),
+                    pltpu.VMEM((block_k, d), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, tq, d), jnp.float32),
+                jax.ShapeDtypeStruct((bh, tk, d), q.dtype),
+                jax.ShapeDtypeStruct((bh, tk, d), q.dtype),
+            ],
+            interpret=interpret,
+        )(jnp.asarray(q_of2), jnp.asarray(kv_of2), q, k, v,
+          jnp.asarray(mask8), pad8, do, lse, delta)
+        return dq.astype(q.dtype), dk, dv
+
     @jax.custom_vjp
     def flash(q, k, v, key_padding_mask):
         out, _ = _flash_fwd(q, k, v, key_padding_mask)
@@ -483,7 +636,8 @@ def make_flash_attention(
         delta = jnp.sum(
             do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
         )  # [bh, tq]
-        dq, dk, dv = _bwd_call(qf, kf, vf, pad8, do, lse, delta, h)
+        bwd = _bwd_call_fused if bwd_impl == "fused" else _bwd_call
+        dq, dk, dv = bwd(qf, kf, vf, pad8, do, lse, delta, h)
         unpad = lambda x: x[:, :t].reshape(b, h, t, d)
         return unpad(dq), unpad(dk), unpad(dv), None
 
@@ -507,13 +661,16 @@ def flash_masked_attention(
     key_padding_mask=None,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
+    bwd_impl: Optional[str] = None,
     interpret: bool = False,
 ):
     """Drop-in for dense_masked_attention with a STATIC numpy mask.
 
     Default block shape is the best of the v5e full-step sweep at TCGA
     scale (PERF.md); override per-run with ``MCA_FLASH_BLOCK_Q`` /
-    ``MCA_FLASH_BLOCK_K`` (used by the tuning sweeps).
+    ``MCA_FLASH_BLOCK_K`` (used by the tuning sweeps).  The backward
+    defaults to the single-pass fused kernel; ``MCA_FLASH_BWD=split``
+    selects the two-pass variant (kept as a comparison oracle).
     """
     import os
 
@@ -521,6 +678,8 @@ def flash_masked_attention(
         block_q = int(os.environ.get("MCA_FLASH_BLOCK_Q", "512"))
     if block_k is None:
         block_k = int(os.environ.get("MCA_FLASH_BLOCK_K", "1024"))
+    if bwd_impl is None:
+        bwd_impl = os.environ.get("MCA_FLASH_BWD", "fused")
     if attn_mask is None:
         attn_mask = np.zeros((q.shape[2], q.shape[2]), bool)
     attn_mask = np.asarray(attn_mask, bool)
@@ -530,6 +689,7 @@ def flash_masked_attention(
         float(scale),
         block_q,
         block_k,
+        bwd_impl,
         interpret,
     )
     if key not in _CACHE:
@@ -538,6 +698,7 @@ def flash_masked_attention(
             scale=scale,
             block_q=block_q,
             block_k=block_k,
+            bwd_impl=bwd_impl,
             interpret=interpret,
         )
     return _CACHE[key](q, k, v, key_padding_mask)

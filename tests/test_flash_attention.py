@@ -94,7 +94,8 @@ def test_bf16(rng):
     _compare(q, k, v, ms.attn_mask, None, atol=3e-2)
 
 
-def test_gradients_match_dense(rng):
+@pytest.mark.parametrize("bwd_impl", ["split", "fused"])
+def test_gradients_match_dense(rng, bwd_impl):
     ms = M.build_masks([96, 64], 66, [2, 1])
     t = ms.seq_len
     q, k, v = _rand_qkv(rng, 2, 2, t, 64)
@@ -122,7 +123,7 @@ def test_gradients_match_dense(rng):
         o = flash_masked_attention(
             q, k, v, scale=SCALE, attn_mask=ms.attn_mask,
             key_padding_mask=pad_j, block_q=64, block_k=64,
-            interpret=True,
+            bwd_impl=bwd_impl, interpret=True,
         )
         return (o * w * live[:, None, :, None]).sum()
 
@@ -132,6 +133,37 @@ def test_gradients_match_dense(rng):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=2e-4,
             err_msg=f"d{name} mismatch",
+        )
+
+
+def test_fused_bwd_matches_split_asymmetric(rng):
+    """Fused single-pass backward == split two-pass backward, under a
+    block-sparse mask, padding, bf16 inputs, and block_q != block_k
+    (exercises the dynamic-row-slice dq accumulation)."""
+    ms = M.build_masks([96, 64, 96], 70, [3, 2, 1])
+    t = ms.seq_len
+    q, k, v = _rand_qkv(rng, 2, 2, t, 64)
+    pad = np.zeros((2, t), bool)
+    pad[0, 96:140] = True
+    pad_j = jnp.asarray(pad)
+    w = jnp.asarray(rng.normal(size=(2, 2, t, 64)).astype(np.float32))
+
+    def obj(impl):
+        def f(q, k, v):
+            o = flash_masked_attention(
+                q, k, v, scale=SCALE, attn_mask=ms.attn_mask,
+                key_padding_mask=pad_j, block_q=64, block_k=128,
+                bwd_impl=impl, interpret=True,
+            )
+            return (o * w).sum()
+        return f
+
+    gs = jax.grad(obj("split"), argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(obj("fused"), argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", gs, gf):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-5,
+            err_msg=f"d{name} fused/split mismatch",
         )
 
 
