@@ -1,0 +1,151 @@
+"""Import a reference (PyTorch) checkpoint into an Orbax params dir.
+
+Usage:
+    python -m mca_tpu.tools.import_checkpoint <train_config.yaml> \
+        <torch_checkpoint_path> <out_dir> [--export <file.safetensors>]
+
+``train_config.yaml`` is the (reference-format) training config that
+describes the model — the same YAML the checkpoint was trained with.
+``torch_checkpoint_path`` is a ``.safetensors``/``.bin``/``.pt`` file
+or an Accelerate ``save_state`` directory (ref train_accel_gpu.py:122,
+:133, :187 — the formats of the README-linked pretrained checkpoints).
+The result is an Orbax directory usable as ``restart:`` in our train /
+infer configs.
+
+``--export FILE`` writes the imported params back out as a
+reference-named safetensors state_dict; with ``--from-orbax DIR``
+instead of a torch checkpoint, it exports OUR trained params so the
+reference's own scripts can load them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+logger = logging.getLogger(__name__)
+
+
+def zero_batch_for(cfg):
+    """A structurally-correct batch built from modality_config alone
+    (collators define the batch schema; values are irrelevant for
+    parameter shapes)."""
+    from mca_tpu.data.collators import MultimodalCollator
+    from mca_tpu.data.synthetic import make_cmu_like, make_tcga_like
+
+    enc_types = {e["type"] for e in cfg.encoder_configs.values()}
+    if enc_types & {"EmbeddedSequenceEncoder"}:
+        shapes = {
+            m: (int(e["input_size"]), int(e["max_tokens"]))
+            for m, e in cfg.encoder_configs.items()
+        }
+        samples = make_cmu_like(2, shapes=shapes, seed=0)
+    else:
+        widths = {
+            m: int(e["max_tokens"])
+            for m, e in cfg.encoder_configs.items()
+        }
+        samples = make_tcga_like(2, widths=widths, seed=0)
+    mc = (
+        cfg.modality_config.to_plain()
+        if hasattr(cfg.modality_config, "to_plain")
+        else cfg.modality_config
+    )
+    return MultimodalCollator(mc)(samples)
+
+
+def init_params(cfg):
+    import jax
+
+    from mca_tpu.config import get_model_config
+    from mca_tpu.models import build_model
+
+    model = build_model(get_model_config(cfg))
+    batch = zero_batch_for(cfg)
+    return jax.jit(model.init)(jax.random.key(0), batch)
+
+
+def _load_orbax_params(ckpt, path: str):
+    """Accept a final-save parent dir (``<dir>/model``), the orbax dir
+    itself, or an epoch checkpoint (``<dir>/state`` train state)."""
+    import os
+
+    base = os.path.basename(os.path.normpath(path))
+    if os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA")):
+        tree = ckpt._checkpointer().restore(os.path.abspath(path))
+        if base == "state" and "params" in tree:
+            return tree["params"]
+        return tree
+    if os.path.isdir(os.path.join(path, "state")):
+        return ckpt.load_state(path)["params"]
+    return ckpt.load_params(path)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("config", help="reference-format train config YAML")
+    ap.add_argument("checkpoint", nargs="?", help="torch checkpoint path")
+    ap.add_argument("out_dir", nargs="?", help="Orbax output directory")
+    ap.add_argument(
+        "--export",
+        metavar="FILE",
+        help="write a reference-named .safetensors of the params",
+    )
+    ap.add_argument(
+        "--from-orbax",
+        metavar="DIR",
+        help="export OUR params from this Orbax dir (no torch import)",
+    )
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    from mca_tpu import checkpoint as ckpt
+    from mca_tpu.config import load_yaml, training_config_from_dict
+    from mca_tpu.interop import (
+        export_state_dict,
+        import_state_dict,
+        load_torch_state_dict,
+    )
+
+    cfg = training_config_from_dict(load_yaml(args.config))
+    if args.from_orbax:
+        if not args.export:
+            ap.error("--from-orbax requires --export")
+        params = _load_orbax_params(ckpt, args.from_orbax)
+    elif args.checkpoint:
+        if not args.out_dir:
+            ap.error("out_dir required when importing a checkpoint")
+        sd = load_torch_state_dict(args.checkpoint)
+        params = init_params(cfg)
+        params, report = import_state_dict(sd, params)
+        ckpt.save_params(params, args.out_dir)
+        logger.info(
+            "imported %d tensors -> %s (%d reference keys unused: %s)",
+            len(report["matched"]),
+            args.out_dir,
+            len(report["unused"]),
+            json.dumps(report["unused"][:8]),
+        )
+    else:
+        ap.error(
+            "nothing to do: give a torch checkpoint to import, or "
+            "--from-orbax DIR --export FILE"
+        )
+
+    if args.export:
+        import numpy as np
+        from safetensors.numpy import save_file
+
+        sd_out = {
+            k: np.ascontiguousarray(v)
+            for k, v in export_state_dict(params).items()
+        }
+        save_file(sd_out, args.export)
+        logger.info("exported %d tensors -> %s", len(sd_out), args.export)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
