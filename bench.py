@@ -46,6 +46,15 @@ def main() -> None:
     dataset = os.environ.get("BENCH_DATASET", "tcga")
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
     overrides = {"batch_size": batch_size}
+    overrides["attention_impl"] = os.environ.get("BENCH_ATTN", "auto")
+    # activations at batch 128 exceed HBM without rematerialisation
+    # (measured: 30.8G vs 15.75G); batch 64 still fits and runs 28%
+    # faster without remat (320k vs 250k tok/s) — see PERF.md
+    overrides["remat"] = (
+        os.environ.get("BENCH_REMAT", "auto") == "1"
+        or (os.environ.get("BENCH_REMAT", "auto") == "auto"
+            and batch_size >= 128)
+    )
     if dataset == "cmu":
         shapes = {
             "COVAREP": (74, 1500),

@@ -135,7 +135,7 @@ def get_cfg_defaults_train() -> Config:
             "return_logits": True,
             # --- TPU-native extensions (not present in reference) ---
             "precision": "bf16",         # compute dtype: "bf16" | "fp32"
-            "attention_impl": "auto",    # "dense" | "pallas" | "auto"
+            "attention_impl": "auto",    # dense | pallas | segmented | auto
             "mesh_data": 0,              # 0 = use all devices on the data axis
             "mesh_model": 1,             # tensor-parallel axis size
             "log_every": 1,              # JSONL log cadence (steps)

@@ -74,11 +74,18 @@ def masked_attention(
     key_padding_mask: Optional[Array] = None,
     impl: str = "dense",
 ) -> Array:
-    """Dispatch between the dense oracle and the Pallas flash kernel.
+    """Dispatch between the dense oracle, the monolithic Pallas flash
+    kernel, and the segment-decomposed path.
 
-    ``impl='auto'`` picks the Pallas kernel on TPU backends when the
-    mask is static (a numpy array — required to derive the tile
-    schedule at trace time), the dense path otherwise.
+    ``impl='auto'`` picks the monolithic Pallas kernel on TPU backends
+    when the mask is static (a numpy array — required to derive the
+    tile schedule at trace time), the dense path otherwise.
+    ``impl='segmented'`` decomposes by the mask's query-row structure
+    (per-modality unmasked flash + one dense cross call); measured
+    SLOWER at canonical scale — 308k vs 366k tok/s, the extra
+    launches/slices cost more than the skipped score area saves — but
+    kept for much longer sequences where O(T^2) tile quantisation
+    dominates (see PERF.md round 2).
     """
     import numpy as np
 
@@ -88,6 +95,19 @@ def masked_attention(
         )
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         impl = "pallas" if (static_mask and on_tpu) else "dense"
+    if impl == "segmented":
+        from mca_tpu.ops.segmented_attention import (
+            segmented_masked_attention,
+        )
+
+        return segmented_masked_attention(
+            q,
+            k,
+            v,
+            scale=scale,
+            attn_mask=attn_mask,
+            key_padding_mask=key_padding_mask,
+        )
     if impl == "pallas":
         from mca_tpu.ops.flash_attention import flash_masked_attention
 

@@ -79,14 +79,15 @@ def _tile_schedule(
 def _fwd_kernel(
     # scalar prefetch
     q_of, kv_of,
-    # inputs
-    q_ref, k_ref, v_ref, mask_ref, pad_ref,
-    # outputs
-    out_ref, lse_ref,
-    # scratch
-    m_scr, l_scr, acc_scr,
-    *, scale: float,
+    # inputs: q, k, v, [mask,] pad — then outputs and scratch
+    q_ref, k_ref, v_ref, *rest,
+    scale: float, has_mask: bool = True,
 ):
+    if has_mask:
+        mask_ref, pad_ref, out_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        mask_ref = None
+        pad_ref, out_ref, lse_ref, m_scr, l_scr, acc_scr = rest
     t = pl.program_id(1)
     nt = pl.num_programs(1)
     prev_q = q_of[jnp.maximum(t - 1, 0)]
@@ -113,7 +114,10 @@ def _fwd_kernel(
         )
         * scale
     )  # [bq, bk] fp32
-    blocked = (mask_ref[:] != 0) | (pad_ref[0][:1, :] != 0)
+    if has_mask:
+        blocked = (mask_ref[:] != 0) | (pad_ref[0][:1, :] != 0)
+    else:  # [1, bk], broadcasts in the wheres below
+        blocked = pad_ref[0][:1, :] != 0
     s = jnp.where(blocked, NEG_INF, s)
 
     m_prev = m_scr[:][:, :1]  # [bq, 1]
@@ -150,11 +154,15 @@ def _fwd_kernel(
 
 def _dq_kernel(
     q_of, kv_of,
-    q_ref, k_ref, v_ref, mask_ref, pad_ref, do_ref, lse_ref, delta_ref,
-    dq_ref,
-    dq_scr,
-    *, scale: float,
+    q_ref, k_ref, v_ref, *rest,
+    scale: float, has_mask: bool = True,
 ):
+    if has_mask:
+        (mask_ref, pad_ref, do_ref, lse_ref, delta_ref,
+         dq_ref, dq_scr) = rest
+    else:
+        mask_ref = None
+        pad_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr = rest
     t = pl.program_id(1)
     nt = pl.num_programs(1)
     is_first = jnp.logical_or(
@@ -181,7 +189,10 @@ def _dq_kernel(
         )
         * scale
     )
-    blocked = (mask_ref[:] != 0) | (pad_ref[0][:1, :] != 0)
+    if has_mask:
+        blocked = (mask_ref[:] != 0) | (pad_ref[0][:1, :] != 0)
+    else:
+        blocked = pad_ref[0][:1, :] != 0
     s = jnp.where(blocked, NEG_INF, s)
     p = jnp.exp(s - lse)
     p = jnp.where(blocked, 0.0, p)
@@ -202,10 +213,8 @@ def _dq_kernel(
 
 def _fused_bwd_kernel(
     q_of, kv_of,
-    q_ref, k_ref, v_ref, mask_ref, pad_ref, do_ref, lse_ref, delta_ref,
-    dq_ref, dk_ref, dv_ref,
-    dk_scr, dv_scr,
-    *, scale: float, block_q: int,
+    q_ref, k_ref, v_ref, *rest,
+    scale: float, block_q: int, has_mask: bool = True,
 ):
     """Single kv-major pass computing dq, dk and dv together.
 
@@ -219,6 +228,13 @@ def _fused_bwd_kernel(
     a dynamic row slice at ``q_of[t] * block_q``) and is flushed to
     HBM once per batch-head.
     """
+    if has_mask:
+        (mask_ref, pad_ref, do_ref, lse_ref, delta_ref,
+         dq_ref, dk_ref, dv_ref, dk_scr, dv_scr) = rest
+    else:
+        mask_ref = None
+        (pad_ref, do_ref, lse_ref, delta_ref,
+         dq_ref, dk_ref, dv_ref, dk_scr, dv_scr) = rest
     t = pl.program_id(1)
     nt = pl.num_programs(1)
     kv_first = jnp.logical_or(
@@ -250,7 +266,10 @@ def _fused_bwd_kernel(
         )
         * scale
     )
-    blocked = (mask_ref[:] != 0) | (pad_ref[0][:1, :] != 0)
+    if has_mask:
+        blocked = (mask_ref[:] != 0) | (pad_ref[0][:1, :] != 0)
+    else:
+        blocked = pad_ref[0][:1, :] != 0
     s = jnp.where(blocked, NEG_INF, s)
     p = jnp.exp(s - lse)
     p = jnp.where(blocked, 0.0, p)
@@ -281,11 +300,16 @@ def _fused_bwd_kernel(
 
 def _dkv_kernel(
     q_of, kv_of,
-    q_ref, k_ref, v_ref, mask_ref, pad_ref, do_ref, lse_ref, delta_ref,
-    dk_ref, dv_ref,
-    dk_scr, dv_scr,
-    *, scale: float,
+    q_ref, k_ref, v_ref, *rest,
+    scale: float, has_mask: bool = True,
 ):
+    if has_mask:
+        (mask_ref, pad_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = rest
+    else:
+        mask_ref = None
+        (pad_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = rest
     t = pl.program_id(1)
     nt = pl.num_programs(1)
     is_first = jnp.logical_or(
@@ -313,7 +337,10 @@ def _dkv_kernel(
         )
         * scale
     )
-    blocked = (mask_ref[:] != 0) | (pad_ref[0][:1, :] != 0)
+    if has_mask:
+        blocked = (mask_ref[:] != 0) | (pad_ref[0][:1, :] != 0)
+    else:
+        blocked = pad_ref[0][:1, :] != 0
     s = jnp.where(blocked, NEG_INF, s)
     p = jnp.exp(s - lse)
     p = jnp.where(blocked, 0.0, p)
@@ -386,23 +413,43 @@ def make_flash_attention(
         return jnp.pad(x, ((0, 0), (0, tk - t_real), (0, 0)))
 
     def _pad_keymask(pad, b):
+        # the tk-t_real alignment tail is always marked padded: with an
+        # all-zero static mask (per-segment unmasked attention) nothing
+        # else blocks those keys
         if pad is None:
-            pad2 = jnp.zeros((b, tk), jnp.int8)
-        else:
-            pad2 = jnp.pad(
-                pad.astype(jnp.int8),
-                ((0, 0), (0, tk - t_real)),
-                constant_values=1,
-            )
+            pad = jnp.zeros((b, t_real), jnp.int8)
+        pad2 = jnp.pad(
+            pad.astype(jnp.int8),
+            ((0, 0), (0, tk - t_real)),
+            constant_values=1,
+        )
         # [B, 8, tk]: TPU blocks need the second-to-last dim >= 8; the
         # 8 rows are identical broadcast copies
         return jnp.broadcast_to(pad2[:, None, :], (b, 8, tk))
+
+    # all-zero masks (per-segment unmasked attention) skip the mask
+    # operand entirely — no [block_q, block_k] int8 tile DMA per step
+    has_mask = bool(np.asarray(attn_mask, bool).any())
+
+    def _mask_specs():
+        if not has_mask:
+            return []
+        return [
+            pl.BlockSpec(
+                (block_q, block_k), lambda b, t, qo, ko: (qo[t], ko[t])
+            )
+        ]
+
+    def _mask_ops():
+        return [jnp.asarray(mask8)] if has_mask else []
 
     def _fwd_call(q, k, v, pad8, h):
         bh = q.shape[0]
         grid = (bh, n_tiles)
         out, lse = pl.pallas_call(
-            functools.partial(_fwd_kernel, scale=scale),
+            functools.partial(
+                _fwd_kernel, scale=scale, has_mask=has_mask
+            ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=grid,
@@ -419,10 +466,7 @@ def make_flash_attention(
                         (1, block_k, v.shape[-1]),
                         lambda b, t, qo, ko: (b, ko[t], 0),
                     ),
-                    pl.BlockSpec(
-                        (block_q, block_k),
-                        lambda b, t, qo, ko: (qo[t], ko[t]),
-                    ),
+                    *_mask_specs(),
                     pl.BlockSpec(
                         (1, 8, block_k),
                         lambda b, t, qo, ko: (b // h, 0, ko[t]),
@@ -450,7 +494,7 @@ def make_flash_attention(
             ],
             interpret=interpret,
         )(jnp.asarray(q_of), jnp.asarray(kv_of), q, k, v,
-          jnp.asarray(mask8), pad8)
+          *_mask_ops(), pad8)
         return out, lse[:, :, 0]
 
     def _bwd_call(q, k, v, pad8, do, lse, delta, h):
@@ -469,10 +513,7 @@ def make_flash_attention(
             pl.BlockSpec(
                 (1, block_k, d), lambda b, t, qo, ko: (b, ko[t], 0)
             ),
-            pl.BlockSpec(
-                (block_q, block_k),
-                lambda b, t, qo, ko: (qo[t], ko[t]),
-            ),
+            *_mask_specs(),
             pl.BlockSpec(
                 (1, 8, block_k),
                 lambda b, t, qo, ko: (b // h, 0, ko[t]),
@@ -490,7 +531,9 @@ def make_flash_attention(
             ),
         ]
         dq = pl.pallas_call(
-            functools.partial(_dq_kernel, scale=scale),
+            functools.partial(
+                _dq_kernel, scale=scale, has_mask=has_mask
+            ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(bh, n_tiles),
@@ -510,10 +553,12 @@ def make_flash_attention(
             ],
             interpret=interpret,
         )(jnp.asarray(q_of), jnp.asarray(kv_of), q, k, v,
-          jnp.asarray(mask8), pad8, do, lse, delta)[0]
+          *_mask_ops(), pad8, do, lse, delta)[0]
 
         dk, dv = pl.pallas_call(
-            functools.partial(_dkv_kernel, scale=scale),
+            functools.partial(
+                _dkv_kernel, scale=scale, has_mask=has_mask
+            ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(bh, n_tiles),
@@ -539,7 +584,7 @@ def make_flash_attention(
             ],
             interpret=interpret,
         )(jnp.asarray(q_of2), jnp.asarray(kv_of2), q, k, v,
-          jnp.asarray(mask8), pad8, do, lse, delta)
+          *_mask_ops(), pad8, do, lse, delta)
         return dq, dk, dv
 
     def _bwd_call_fused(q, k, v, pad8, do, lse, delta, h):
@@ -557,10 +602,7 @@ def make_flash_attention(
             pl.BlockSpec(
                 (1, block_k, d), lambda b, t, qo, ko: (b, ko[t], 0)
             ),
-            pl.BlockSpec(
-                (block_q, block_k),
-                lambda b, t, qo, ko: (qo[t], ko[t]),
-            ),
+            *_mask_specs(),
             pl.BlockSpec(
                 (1, 8, block_k),
                 lambda b, t, qo, ko: (b // h, 0, ko[t]),
@@ -579,7 +621,10 @@ def make_flash_attention(
         ]
         dq, dk, dv = pl.pallas_call(
             functools.partial(
-                _fused_bwd_kernel, scale=scale, block_q=block_q
+                _fused_bwd_kernel,
+                scale=scale,
+                block_q=block_q,
+                has_mask=has_mask,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
@@ -612,7 +657,7 @@ def make_flash_attention(
             ],
             interpret=interpret,
         )(jnp.asarray(q_of2), jnp.asarray(kv_of2), q, k, v,
-          jnp.asarray(mask8), pad8, do, lse, delta)
+          *_mask_ops(), pad8, do, lse, delta)
         return dq.astype(q.dtype), dk, dv
 
     @jax.custom_vjp
