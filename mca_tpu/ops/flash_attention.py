@@ -37,6 +37,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+# row-statistic floor: a fully-masked row's max/lse is NEG_INF; flooring
+# at DEAD_CLAMP makes exp(NEG_INF - DEAD_CLAMP) == 0 so dead rows yield
+# p == 0 without spending a [bq, bk] where on every tile (real scores
+# are nowhere near this magnitude)
+DEAD_CLAMP = -1e29
 
 
 def _pad_to(x: int, m: int) -> int:
@@ -102,30 +107,33 @@ def _fwd_kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     # native-dtype operands (bf16 hits the MXU at full rate), fp32
-    # accumulation via preferred_element_type
-    q = q_ref[0]  # [bq, d]
+    # accumulation via preferred_element_type; scale folded into the q
+    # tile ([bq, d] multiplies instead of [bq, bk])
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)  # [bq, d]
     k = k_ref[0]  # [bk, d]
     v = v_ref[0]  # [bk, d]
-    s = (
-        jax.lax.dot_general(
-            q, k,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        * scale
+    s = jax.lax.dot_general(
+        q, k,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )  # [bq, bk] fp32
     if has_mask:
         blocked = (mask_ref[:] != 0) | (pad_ref[0][:1, :] != 0)
-    else:  # [1, bk], broadcasts in the wheres below
+    else:  # [1, bk], broadcasts in the where below
         blocked = pad_ref[0][:1, :] != 0
     s = jnp.where(blocked, NEG_INF, s)
 
     m_prev = m_scr[:][:, :1]  # [bq, 1]
     l_prev = l_scr[:][:, :1]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    # keep fully-masked rows finite: exp(NEG_INF - NEG_INF) would be 1
+    # the DEAD_CLAMP floor keeps fully-masked rows at p == 0 without a
+    # second [bq, bk] where: dead rows have max == NEG_INF, so
+    # exp(NEG_INF - DEAD_CLAMP) == 0; blocked entries in live rows are
+    # exp(NEG_INF - finite) == 0 already
+    m_new = jnp.maximum(
+        jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True)),
+        DEAD_CLAMP,
+    )
     p = jnp.exp(s - m_new)
-    p = jnp.where(blocked, 0.0, p)
     correction = jnp.exp(m_prev - m_new)
     l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * correction + jax.lax.dot_general(
@@ -176,18 +184,19 @@ def _dq_kernel(
     def _():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0]
+    # scale folded into the q tile: s matches the forward exactly and
+    # the [bq, bk] multiply disappears
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0][:, :1]  # [bq, 1]
+    # lse floor: dead rows store lse == NEG_INF; flooring makes
+    # exp(NEG_INF - DEAD_CLAMP) == 0 without a second [bq, bk] where
+    lse = jnp.maximum(lse_ref[0][:, :1], DEAD_CLAMP)  # [bq, 1]
     delta = delta_ref[0][:, :1]
-    s = (
-        jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        * scale
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     if has_mask:
         blocked = (mask_ref[:] != 0) | (pad_ref[0][:1, :] != 0)
@@ -195,7 +204,6 @@ def _dq_kernel(
         blocked = pad_ref[0][:1, :] != 0
     s = jnp.where(blocked, NEG_INF, s)
     p = jnp.exp(s - lse)
-    p = jnp.where(blocked, 0.0, p)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -253,18 +261,19 @@ def _fused_bwd_kernel(
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0]
+    # scale folded into the q tile: s matches the forward, the
+    # [bq, bk] multiply disappears, and dk's scale factor is absorbed
+    # (dot(ds^T, scale*q) == scale * dot(ds^T, q))
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0][:, :1]
+    # lse floor: dead rows yield p == 0 without a [bq, bk] where
+    lse = jnp.maximum(lse_ref[0][:, :1], DEAD_CLAMP)
     delta = delta_ref[0][:, :1]
-    s = (
-        jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        * scale
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     if has_mask:
         blocked = (mask_ref[:] != 0) | (pad_ref[0][:1, :] != 0)
@@ -272,7 +281,6 @@ def _fused_bwd_kernel(
         blocked = pad_ref[0][:1, :] != 0
     s = jnp.where(blocked, NEG_INF, s)
     p = jnp.exp(s - lse)
-    p = jnp.where(blocked, 0.0, p)
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -282,7 +290,7 @@ def _fused_bwd_kernel(
         preferred_element_type=jnp.float32,
     )
     ds = p * (dp - delta)
-    dk_scr[:] = dk_scr[:] + scale * jax.lax.dot_general(
+    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -324,18 +332,19 @@ def _dkv_kernel(
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0]
+    # scale folded into the q tile: s matches the forward, the
+    # [bq, bk] multiply disappears, and dk's scale factor is absorbed
+    # (dot(ds^T, scale*q) == scale * dot(ds^T, q))
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0][:, :1]
+    # lse floor: dead rows yield p == 0 without a [bq, bk] where
+    lse = jnp.maximum(lse_ref[0][:, :1], DEAD_CLAMP)
     delta = delta_ref[0][:, :1]
-    s = (
-        jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        * scale
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     if has_mask:
         blocked = (mask_ref[:] != 0) | (pad_ref[0][:1, :] != 0)
@@ -343,7 +352,6 @@ def _dkv_kernel(
         blocked = pad_ref[0][:1, :] != 0
     s = jnp.where(blocked, NEG_INF, s)
     p = jnp.exp(s - lse)
-    p = jnp.where(blocked, 0.0, p)
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -353,7 +361,7 @@ def _dkv_kernel(
         preferred_element_type=jnp.float32,
     )
     ds = p * (dp - delta)
-    dk_scr[:] = dk_scr[:] + scale * jax.lax.dot_general(
+    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
