@@ -145,6 +145,8 @@ def get_cfg_defaults_train() -> Config:
             "fuse_optimizer": True,      # flat-vector AdamW (fewer kernels)
             "preload_dataset": True,     # materialise samples once (host RAM)
             "remat": False,              # rematerialise transformer blocks
+            "export_safetensors": True,  # final save also as reference-named
+                                         # model.safetensors (interop)
         }
     )
 

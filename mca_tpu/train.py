@@ -863,7 +863,28 @@ def train(config: Config) -> str:
                 log,
                 int(state["step"]),
             )
-    ckpt.save_params(current_params(state), config.output_dir)
+    final_params = current_params(state)
+    ckpt.save_params(final_params, config.output_dir)
+    if config.get("export_safetensors", True):
+        # also emit the reference's save_model format (ref
+        # train_accel_gpu.py:187): a reference-named model.safetensors
+        # the torch scripts can load directly (mca_tpu.interop)
+        try:
+            from safetensors.numpy import save_file
+
+            from mca_tpu.interop import export_state_dict
+
+            sd = {
+                key: np.ascontiguousarray(np.asarray(v))
+                for key, v in export_state_dict(
+                    jax.device_get(final_params)
+                ).items()
+            }
+            save_file(
+                sd, os.path.join(config.output_dir, "model.safetensors")
+            )
+        except Exception:
+            logger.exception("safetensors export failed (non-fatal)")
     log.close()
     return config.output_dir
 

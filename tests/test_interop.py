@@ -175,6 +175,47 @@ def test_cmu_family_forward_parity_via_importer(
     )
 
 
+def test_train_emits_reference_safetensors(tmp_path, monkeypatch):
+    """The training final save also writes a reference-named
+    model.safetensors (ref train_accel_gpu.py:187 save_model format)
+    consistent with the Orbax params."""
+    monkeypatch.chdir(tmp_path)
+    from mca_tpu import checkpoint as ckpt_mod
+    from mca_tpu.config import dump_configs
+    from mca_tpu.data.synthetic import make_tcga_like, to_hf_dataset
+    from mca_tpu.train import train
+
+    widths = {"a": 6, "b": 3, "c": 5, "d": 4}
+    samples = make_tcga_like(16, widths=widths, seed=0, n_classes=3)
+    ds_path = str(tmp_path / "ds")
+    to_hf_dataset(samples).save_to_disk(ds_path)
+    cfg = training_config_from_dict(
+        tiny_config("tcga", widths=widths, batch_size=4, epochs=1)
+    )
+    cfg.dataset = ds_path
+    cfg.output_dir = str(tmp_path / "out")
+    cfg.run_eval_loop = False
+    dump_configs(cfg, cfg.output_dir)
+    train(cfg)
+
+    sd = load_torch_state_dict(str(tmp_path / "out"))
+    assert "layers.0.attn.to_q.weight" in sd
+    assert "fusion_tokens" in sd
+    params = ckpt_mod.load_params(cfg.output_dir)
+    np.testing.assert_allclose(
+        sd["fusion_tokens"],
+        np.asarray(params["params"]["fusion_tokens"]),
+        rtol=0, atol=0,
+    )
+    np.testing.assert_allclose(
+        sd["layers.0.ff.feedforward.0.weight"].T,
+        np.asarray(
+            params["params"]["layer_0"]["ff"]["w_in"]["kernel"]
+        ),
+        rtol=0, atol=0,
+    )
+
+
 def test_cli_import_and_export(reference_path, tmp_path, monkeypatch):
     torch = pytest.importorskip("torch")
     monkeypatch.chdir(tmp_path)
