@@ -151,10 +151,15 @@ def part_cmu_stream():
     }
     root = "/tmp/measure_cmu"
     ds_path = f"{root}/dataset"
-    if not os.path.isdir(ds_path):
+    # enough samples for several launches per epoch: the sliding-window
+    # meter needs a steady-state tail clear of compile + cold pages
+    n_samples = 1280  # 0.8*1280/8 = 128 batches = exactly 4 scan launches
+    if not os.path.isdir(ds_path) or len(
+        __import__("datasets").load_from_disk(ds_path)
+    ) != n_samples:
         os.makedirs(root, exist_ok=True)
         samples = make_cmu_like(
-            320, shapes=shapes, p_missing=0.2, seed=0
+            n_samples, shapes=shapes, p_missing=0.2, seed=0
         )
         to_hf_dataset(samples).save_to_disk(ds_path)
 

@@ -24,14 +24,43 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_state(state: Any, directory: str) -> None:
-    """Save a train-state pytree under ``directory/state``."""
+_ASYNC = None
+
+
+def _async_checkpointer():
+    global _ASYNC
+    if _ASYNC is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC
+
+
+def wait_for_saves() -> None:
+    """Block until all asynchronous saves have committed."""
+    if _ASYNC is not None:
+        _ASYNC.wait_until_finished()
+
+
+def save_state(
+    state: Any, directory: str, *, asynchronous: bool = False
+) -> None:
+    """Save a train-state pytree under ``directory/state``.
+
+    ``asynchronous=True`` overlaps the disk write with subsequent
+    device work (the device->host copy still happens before return, so
+    donated buffers are safe to reuse); call :func:`wait_for_saves`
+    before reading the checkpoint back or exiting.
+    """
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, "state")
     # fully materialise on host: checkpoints must be readable anywhere
     host_state = jax.tree.map(np.asarray, jax.device_get(state))
-    _checkpointer().save(path, host_state, force=True)
+    if asynchronous:
+        _async_checkpointer().save(path, host_state, force=True)
+    else:
+        _checkpointer().save(path, host_state, force=True)
 
 
 def load_state(directory: str, target: Optional[Any] = None) -> Any:

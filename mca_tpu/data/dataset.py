@@ -176,6 +176,88 @@ def _columns_to_rows(cols: Dict[str, Any], n: int) -> list:
     return [{k: row(v, j) for k, v in cols.items()} for j in range(n)]
 
 
+def _arrow_decode_values(arr, n: int) -> list:
+    """One arrow column -> a list of per-row numpy values (None for
+    nulls), reading the flat values buffer directly instead of HF's
+    per-row python materialisation (measured 141 -> ~4 ms per
+    CMU-scale batch, see PERF.md)."""
+    import pyarrow as pa
+
+    valid = arr.is_valid().to_numpy(zero_copy_only=False)
+    if pa.types.is_list(arr.type) and pa.types.is_list(
+        arr.type.value_type
+    ):
+        oo = arr.offsets.to_numpy()
+        inner = arr.values
+        io = inner.offsets.to_numpy()
+        flat = inner.values.to_numpy(zero_copy_only=False)
+        out = []
+        for i in range(n):
+            if not valid[i]:
+                out.append(None)
+                continue
+            s, e = int(oo[i]), int(oo[i + 1])
+            if e == s:
+                out.append(np.zeros((0, 0), flat.dtype))
+                continue
+            widths = np.diff(io[s : e + 1])
+            if (widths == widths[0]).all():
+                out.append(
+                    flat[int(io[s]) : int(io[e])].reshape(
+                        e - s, int(widths[0])
+                    )
+                )
+            else:  # ragged inner rows: rare, fall back per row
+                out.append(
+                    [
+                        flat[int(io[j]) : int(io[j + 1])]
+                        for j in range(s, e)
+                    ]
+                )
+        return out
+    if pa.types.is_list(arr.type):
+        oo = arr.offsets.to_numpy()
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        return [
+            flat[int(oo[i]) : int(oo[i + 1])] if valid[i] else None
+            for i in range(n)
+        ]
+    if pa.types.is_primitive(arr.type):
+        vals = arr.to_numpy(zero_copy_only=False)
+        return [vals[i] if valid[i] else None for i in range(n)]
+    vals = arr.to_pylist()
+    return [vals[i] if valid[i] else None for i in range(n)]
+
+
+def _arrow_take_rows(dataset, idx) -> list:
+    """Fast out-of-core row fetch: pyarrow ``take`` + flat-buffer
+    decode, matching ``_columns_to_rows``'s row structure exactly
+    (``{column: {field: array-or-None}}``; struct-level nulls map to
+    per-field None)."""
+    import pyarrow as pa
+
+    table = dataset.data.table.take(
+        pa.array([int(i) for i in idx], type=pa.int64())
+    )
+    n = len(idx)
+    rows: list = [dict() for _ in range(n)]
+    for name in table.column_names:
+        col = table.column(name).combine_chunks()
+        if pa.types.is_struct(col.type):
+            svalid = col.is_valid().to_numpy(zero_copy_only=False)
+            for fi, field in enumerate(col.type):
+                vals = _arrow_decode_values(col.field(fi), n)
+                for i in range(n):
+                    rows[i].setdefault(name, {})[field.name] = (
+                        vals[i] if svalid[i] else None
+                    )
+        else:
+            vals = _arrow_decode_values(col, n)
+            for i in range(n):
+                rows[i][name] = vals[i]
+    return rows
+
+
 class _PrefetchIterator:
     """Background-thread batch producer with a bounded queue.
 
@@ -192,20 +274,61 @@ class _PrefetchIterator:
         import queue
         import threading
 
-        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
-        self._err = None
+        # the producer closure must NOT capture self: the running
+        # thread would then keep the iterator alive and __del__ (the
+        # abandonment cleanup path) could never fire
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        stop = threading.Event()
+        err_box: list = []
+        done = self._DONE
+
+        def put_or_stop(item) -> bool:
+            # bounded put with a stop check so an abandoned iterator's
+            # producer exits instead of blocking on the full queue
+            # forever (pinning depth+1 batches); returns False when
+            # stopped
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def run():
             try:
                 for item in produce():
-                    self._q.put(item)
+                    if not put_or_stop(item):
+                        return
             except BaseException as e:  # noqa: BLE001 - re-raised below
-                self._err = e
+                err_box.append(e)
             finally:
-                self._q.put(self._DONE)
+                # the sentinel must NOT be dropped on a full queue (a
+                # live consumer would then block in get() forever) —
+                # same stop-aware bounded put as the items
+                put_or_stop(done)
 
+        self._q = q
+        self._stop = stop
+        self._err_box = err_box
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
+
+    def close(self) -> None:
+        """Stop the producer and release queued batches."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:  # queue.Empty
+            pass
+        self._thread.join(timeout=2.0)
+
+    def __del__(self):  # abandoned iterator: don't leak the producer
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __iter__(self):
         return self
@@ -214,8 +337,8 @@ class _PrefetchIterator:
         item = self._q.get()
         if item is self._DONE:
             self._thread.join()
-            if self._err is not None:
-                raise self._err
+            if self._err_box:
+                raise self._err_box[0]
             raise StopIteration
         return item
 
@@ -279,8 +402,12 @@ class BatchedLoader:
     def _batch_samples(self, idx) -> list:
         if self._items is not None:
             return [self._items[int(i)] for i in idx]
-        cols = self.dataset[[int(i) for i in idx]]
-        return _columns_to_rows(cols, len(idx))
+        try:
+            return _arrow_take_rows(self.dataset, idx)
+        except Exception:
+            # datasets without a .data arrow table (or exotic schemas)
+            cols = self.dataset[[int(i) for i in idx]]
+            return _columns_to_rows(cols, len(idx))
 
     def _produce(self):
         n = len(self.dataset)
@@ -294,6 +421,16 @@ class BatchedLoader:
         for start in range(0, usable, self.batch_size):
             idx = order[start : start + self.batch_size]
             yield self.collator(self._batch_samples(idx))
+
+    def first_batch(self):
+        """One structurally-representative batch, collated
+        synchronously — for model init / shape derivation without
+        spinning up (and then abandoning) a prefetch producer."""
+        n = len(self.dataset)
+        # always full batch_size (wrap if the split is tiny) so init
+        # sees the same static shapes as the epoch stream
+        idx = np.arange(self.batch_size) % max(n, 1)
+        return self.collator(self._batch_samples(idx))
 
     def __iter__(self):
         if self.prefetch > 0:

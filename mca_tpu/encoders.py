@@ -128,9 +128,17 @@ class PositionalEncoder(nn.Module):
         self.drop = nn.Dropout(rate=self.dropout)
 
     def __call__(
-        self, seq_len: int, deterministic: bool = True
+        self,
+        seq_len: int,
+        deterministic: bool = True,
+        batch: int = 1,
     ) -> Array:
-        pe = self.pe[:seq_len]
+        """Returns [batch, seq_len, d].  In train mode the dropout mask
+        is drawn independently PER SAMPLE, matching the reference's
+        ``self.dropout(pe.repeat(B, 1, 1))`` (ref encoders.py:142)."""
+        pe = jnp.broadcast_to(
+            self.pe[:seq_len], (batch, seq_len, self.d_model)
+        )
         if self.dropout > 0.0 and not deterministic:
             pe = self.drop(pe, deterministic=False)
         return pe
@@ -223,8 +231,8 @@ class SequenceEncoder(nn.Module):
             self.dropout,
             self.max_tokens,
             name="positional_encoder",
-        )(tokens.shape[1], deterministic)
-        return x_t + x_p[None], batch["attention_mask"]
+        )(tokens.shape[1], deterministic, batch=tokens.shape[0])
+        return x_t + x_p, batch["attention_mask"]
 
 
 class EmbeddedSequenceEncoder(nn.Module):
@@ -257,8 +265,8 @@ class EmbeddedSequenceEncoder(nn.Module):
             self.dropout,
             self.max_tokens,
             name="positional_encoder",
-        )(x.shape[1], deterministic)
-        return x + x_p[None], batch["attention_mask"]
+        )(x.shape[1], deterministic, batch=x.shape[0])
+        return x + x_p, batch["attention_mask"]
 
 
 class PatchEncoder(nn.Module):

@@ -31,12 +31,19 @@ def _l2norm(x):
 def masked_uniformity(x, mask, t: float = 2.0, norm: bool = False):
     """log mean_{i<j, both masked} exp(-t ||xi - xj||^2).
 
-    Pairwise over the full [N, D] with pair weights — O(N^2 D) on the
-    MXU instead of host gather + triu indexing.
+    Pairwise over the full [N, D] with pair weights; the squared
+    distances come from the Gram identity
+    ``||xi - xj||^2 = ||xi||^2 + ||xj||^2 - 2 <xi, xj>`` — one [N, D]
+    x [D, N] matmul on the MXU instead of an elementwise [N, N, D]
+    broadcast on the VPU.
     """
     x = _l2norm(x) if norm else x
     m = mask.astype(x.dtype)
-    sq = jnp.sum(jnp.square(x[:, None, :] - x[None, :, :]), axis=-1)
+    sqn = jnp.sum(jnp.square(x), axis=-1)
+    gram = jnp.einsum(
+        "id,jd->ij", x, x, preferred_element_type=jnp.float32
+    )
+    sq = jnp.maximum(sqn[:, None] + sqn[None, :] - 2.0 * gram, 0.0)
     w = m[:, None] * m[None, :]
     w = w * (1.0 - jnp.eye(x.shape[0], dtype=x.dtype))
     # symmetric: mean over i!=j equals mean over i<j

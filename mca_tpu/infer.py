@@ -152,7 +152,7 @@ def infer(config: Config) -> str:
     }
 
     # init to get structure, then restore the checkpointed params
-    first = next(iter(loaders["train"]))
+    first = loaders["train"].first_batch()
     label_batch = first.pop(config.label_col)
     params = jax.jit(model.init)(
         jax.random.key(0), shard_batch(first, mesh)

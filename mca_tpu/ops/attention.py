@@ -96,6 +96,14 @@ def masked_attention(
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         impl = "pallas" if (static_mask and on_tpu) else "dense"
     if impl == "segmented":
+        if attn_mask is not None and not isinstance(
+            attn_mask, np.ndarray
+        ):
+            raise ValueError(
+                "attention_impl='segmented' needs a STATIC numpy "
+                "attn_mask (the row decomposition is derived at trace "
+                "time); got a traced array"
+            )
         from mca_tpu.ops.segmented_attention import (
             segmented_masked_attention,
         )
@@ -107,6 +115,9 @@ def masked_attention(
             scale=scale,
             attn_mask=attn_mask,
             key_padding_mask=key_padding_mask,
+            # Pallas TPU kernels don't lower on CPU hosts; interpret
+            # mode keeps the config value runnable everywhere
+            interpret=jax.default_backend() == "cpu",
         )
     if impl == "pallas":
         from mca_tpu.ops.flash_attention import flash_masked_attention
@@ -118,6 +129,7 @@ def masked_attention(
             scale=scale,
             attn_mask=attn_mask,
             key_padding_mask=key_padding_mask,
+            interpret=jax.default_backend() == "cpu",
         )
     if attn_mask is not None:
         attn_mask = jnp.asarray(attn_mask)

@@ -36,19 +36,30 @@ def make_mesh(
     """
     devices = list(devices if devices is not None else jax.devices())
     if data in (0, None):
-        data = max(len(devices) // model, 1)
+        full_data = max(len(devices) // model, 1)
+        data = full_data
         if batch_size is not None:
             while batch_size % data:
                 data -= 1
         if data * model < len(devices):
             import logging
 
+            if data < full_data:
+                reason = (
+                    f"batch {batch_size} not divisible by the full "
+                    f"data axis {full_data} — pick a batch divisible "
+                    f"by {full_data} to use them"
+                )
+            else:
+                reason = (
+                    f"{len(devices)} devices not divisible by the "
+                    f"model axis {model}"
+                )
             logging.getLogger(__name__).warning(
-                "auto mesh clamped to %dx%d on %d devices (batch %s "
-                "not divisible by the full data axis) — %d devices "
-                "idle; pick a batch divisible by %d to use them",
-                data, model, len(devices), batch_size,
-                len(devices) - data * model, len(devices) // model,
+                "auto mesh clamped to %dx%d on %d devices (%s) — %d "
+                "devices idle",
+                data, model, len(devices), reason,
+                len(devices) - data * model,
             )
     assert data * model <= len(devices), (
         f"mesh {data}x{model} > {len(devices)} devices"

@@ -644,7 +644,7 @@ def train(config: Config) -> str:
     )
     tx = make_optimizer(config, num_training_steps)
 
-    first_batch = shard_batch(next(iter(train_dl)), mesh)
+    first_batch = shard_batch(train_dl.first_batch(), mesh)
     state = init_state(model, tx, first_batch, config.seed)
     state["params"] = shard_params(state["params"], mesh)
 
@@ -779,15 +779,37 @@ def train(config: Config) -> str:
     if config.restart:
         logger.info("Loading saved state from %s", config.restart)
         state = restore_state(state, config.restart)
+    # metrics of the in-flight launch: (packed_device, k, base_step,
+    # epoch).  Draining one launch late lets the host stack/H2D-stage
+    # the next chunk while the device computes (JAX dispatch is
+    # async; the old immediate device_get serialised host and device).
+    pending_metrics = []
+    host_step = int(state["step"])
+
+    def drain_pending():
+        if not pending_metrics:
+            return
+        packed, k, base_step, epoch_ = pending_metrics.pop()
+        host = np.asarray(jax.device_get(packed))  # [K, M]
+        for i in range(k):
+            meter.step()
+            _log_metrics(
+                dict(zip(metric_names, host[i])),
+                None,
+                epoch_,
+                base_step + i + 1,
+            )
 
     def flush_chunk(state, chunk, epoch):
         """Run a group of collated batches through one launch."""
+        nonlocal host_step
         if train_steps is None or (len(chunk) == 1 and not flat_mode):
             for b in chunk:
                 state, metrics = train_step(
                     state, shard_batch(b, mesh)
                 )
                 meter.step()
+                host_step = None
                 _log_metrics(metrics, state, epoch, None)
             return state
         # scan path (flat or tree state); a remainder chunk of any
@@ -795,17 +817,14 @@ def train(config: Config) -> str:
         stacked = shard_batch(
             stack_batches(chunk), mesh, leading_scan_axis=True
         )
+        if host_step is None:  # mixed-path fallback: sync once
+            host_step = int(state["step"])
         state, packed = train_steps(state, stacked)
-        host = np.asarray(jax.device_get(packed))  # [K, M]
-        base_step = int(state["step"]) - len(chunk)
-        for i in range(len(chunk)):
-            meter.step()
-            _log_metrics(
-                dict(zip(metric_names, host[i])),
-                state,
-                epoch,
-                base_step + i + 1,
-            )
+        drain_pending()
+        pending_metrics.append(
+            (packed, len(chunk), host_step, epoch)
+        )
+        host_step += len(chunk)
         return state
 
     def _log_metrics(metrics, state, epoch, step):
@@ -840,15 +859,22 @@ def train(config: Config) -> str:
                 if bucket != last_ckpt_bucket and not chunk:
                     last_ckpt_bucket = bucket
                     ckpt.save_state(
-                        state_for_checkpoint(state), config.output_dir
+                        state_for_checkpoint(state),
+                        config.output_dir,
+                        asynchronous=True,
                     )
         if chunk:
             state = flush_chunk(state, chunk, epoch)
+        drain_pending()  # epoch boundary: flush in-flight metrics
+        # async: the disk write overlaps the next epoch's launches (the
+        # device->host copy completes before return, so donation-safe)
         ckpt.save_state(
             state_for_checkpoint(state),
             os.path.join(config.output_dir, str(epoch)),
+            asynchronous=True,
         )
         if config.get("checkpoint_keep", 0):
+            ckpt.wait_for_saves()  # don't prune a dir mid-write
             _prune_checkpoints(
                 config.output_dir, epoch, config.checkpoint_keep
             )
@@ -863,6 +889,8 @@ def train(config: Config) -> str:
                 log,
                 int(state["step"]),
             )
+    drain_pending()
+    ckpt.wait_for_saves()
     final_params = current_params(state)
     ckpt.save_params(final_params, config.output_dir)
     if config.get("export_safetensors", True):

@@ -77,36 +77,51 @@ class JSONLLogger:
 
 
 class ThroughputMeter:
-    """Steady-state tokens/sec and step-time tracking (skips warmup)."""
+    """Sliding-window tokens/sec and step-time tracking.
 
-    def __init__(self, tokens_per_step: int, warmup_steps: int = 2):
+    Steps arrive in bursts (K per launch with scanned launches), so the
+    window must span several launches; compile time is naturally
+    excluded because steps are stamped when their launch RETURNS.  The
+    cumulative-since-warmup variant this replaces under-reported short
+    runs badly: one slow early launch (cold allocation, checkpoint
+    write) depressed the average forever.
+    """
+
+    def __init__(
+        self,
+        tokens_per_step: int,
+        warmup_steps: int = 2,
+        window: int = 256,
+    ):
+        from collections import deque
+
         self.tokens_per_step = tokens_per_step
         self.warmup_steps = warmup_steps
         self._steps = 0
-        self._t0 = None
-        self._counted = 0
+        self._times: "deque" = deque(maxlen=window + 1)
 
     def step(self):
         self._steps += 1
-        if self._steps == self.warmup_steps:
-            self._t0 = time.perf_counter()
-            self._counted = 0
-        elif self._steps > self.warmup_steps:
-            self._counted += 1
+        if self._steps > self.warmup_steps:
+            self._times.append(time.perf_counter())
 
     @property
     def tokens_per_sec(self) -> float:
-        if not self._t0 or not self._counted:
+        if len(self._times) < 2:
             return 0.0
-        dt = time.perf_counter() - self._t0
-        return self._counted * self.tokens_per_step / dt
+        dt = self._times[-1] - self._times[0]
+        if dt <= 0:
+            return 0.0
+        return (len(self._times) - 1) * self.tokens_per_step / dt
 
     @property
     def step_ms(self) -> float:
-        if not self._t0 or not self._counted:
+        if len(self._times) < 2:
             return 0.0
         return (
-            (time.perf_counter() - self._t0) / self._counted * 1000.0
+            (self._times[-1] - self._times[0])
+            / (len(self._times) - 1)
+            * 1000.0
         )
 
 

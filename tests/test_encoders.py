@@ -60,9 +60,28 @@ def test_positional_encoder_table():
     pe = PositionalEncoder(d_model=8, max_len=16)
     params = pe.init(jax.random.key(0), 5)
     out = np.asarray(pe.apply(params, 5))
-    assert out.shape == (5, 8)
-    np.testing.assert_allclose(out[0, 0], 0.0)  # sin(0)
-    np.testing.assert_allclose(out[0, 1], 1.0)  # cos(0)
+    assert out.shape == (1, 5, 8)
+    np.testing.assert_allclose(out[0, 0, 0], 0.0)  # sin(0)
+    np.testing.assert_allclose(out[0, 0, 1], 1.0)  # cos(0)
+
+
+def test_positional_encoder_per_sample_dropout():
+    """Train-mode PE dropout draws an independent mask per sample,
+    matching the reference's dropout(pe.repeat(B, 1, 1))
+    (ref encoders.py:142)."""
+    pe = PositionalEncoder(d_model=32, max_len=16, dropout=0.5)
+    params = pe.init(jax.random.key(0), 8)
+    out = np.asarray(
+        pe.apply(
+            params, 8, False, 4,
+            rngs={"dropout": jax.random.key(1)},
+        )
+    )
+    assert out.shape == (4, 8, 32)
+    assert not np.array_equal(out[0], out[1])  # per-sample masks
+    # eval mode: deterministic, batch-identical
+    det = np.asarray(pe.apply(params, 8, True, 4))
+    np.testing.assert_array_equal(det[0], det[1])
 
 
 def test_sequence_encoder(rng):

@@ -82,3 +82,40 @@ def test_prefetch_propagates_errors(ds_and_collator):
     loader = BatchedLoader(ds, bad_collator, batch_size=8, prefetch=2)
     with pytest.raises(RuntimeError, match="boom"):
         list(loader)
+
+
+def test_abandoned_prefetch_iterator_stops_producer(ds_and_collator):
+    """An abandoned prefetch iterator must not leak its producer
+    thread blocked on the full queue (pinning depth+1 batches)."""
+    import gc
+    import time
+
+    ds, collator = ds_and_collator
+    loader = BatchedLoader(ds, collator, batch_size=4, prefetch=2)
+    it = iter(loader)
+    next(it)  # producer running, queue fills
+    thread = it._thread
+    it.close()
+    assert not thread.is_alive()
+
+    # the del path (what next(iter(dl)) abandonment exercises)
+    it2 = iter(loader)
+    next(it2)
+    thread2 = it2._thread
+    del it2
+    gc.collect()
+    deadline = time.time() + 3.0
+    while thread2.is_alive() and time.time() < deadline:
+        time.sleep(0.05)
+    assert not thread2.is_alive()
+
+
+def test_first_batch_matches_stream_shapes(ds_and_collator):
+    ds, collator = ds_and_collator
+    loader = BatchedLoader(ds, collator, batch_size=4, prefetch=0)
+    fb = loader.first_batch()
+    sb = next(iter(loader))
+    assert set(fb) == set(sb)
+    for m in fb:
+        for k in fb[m]:
+            assert fb[m][k].shape == sb[m][k].shape
