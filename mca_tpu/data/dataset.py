@@ -229,17 +229,13 @@ def _arrow_decode_values(arr, n: int) -> list:
     return [vals[i] if valid[i] else None for i in range(n)]
 
 
-def _arrow_take_rows(dataset, idx) -> list:
-    """Fast out-of-core row fetch: pyarrow ``take`` + flat-buffer
-    decode, matching ``_columns_to_rows``'s row structure exactly
+def _decode_table(table) -> list:
+    """Decode an arrow (sub-)table into collator row dicts
     (``{column: {field: array-or-None}}``; struct-level nulls map to
-    per-field None)."""
+    per-field None), reading list-offset/values buffers directly."""
     import pyarrow as pa
 
-    table = dataset.data.table.take(
-        pa.array([int(i) for i in idx], type=pa.int64())
-    )
-    n = len(idx)
+    n = table.num_rows
     rows: list = [dict() for _ in range(n)]
     for name in table.column_names:
         col = table.column(name).combine_chunks()
@@ -256,6 +252,32 @@ def _arrow_take_rows(dataset, idx) -> list:
             for i in range(n):
                 rows[i][name] = vals[i]
     return rows
+
+
+def _arrow_take_rows(dataset, idx) -> list:
+    """Fast out-of-core row fetch via zero-copy pyarrow SLICES.
+
+    ``Table.take`` on a chunked memory-mapped table copies whole
+    chunks (measured ~1s per 8-row CMU batch); ``slice`` is zero-copy
+    and the flat-buffer decode reads only the selected rows' windows
+    of the values buffers, so shuffled access costs ~the same as
+    sequential."""
+    table = dataset.data.table
+    idx = [int(i) for i in idx]
+    # split/shuffled HF datasets are INDICES-MAPPED: .data is the full
+    # underlying table and row i lives at _indices[i] — reading the
+    # table positionally would silently return the wrong rows
+    indices = getattr(dataset, "_indices", None)
+    if indices is not None:
+        col = indices.column(0)
+        idx = [int(col[i].as_py()) for i in idx]
+    start = idx[0]
+    if idx == list(range(start, start + len(idx))):
+        return _decode_table(table.slice(start, len(idx)))
+    out: list = []
+    for i in idx:
+        out.extend(_decode_table(table.slice(i, 1)))
+    return out
 
 
 class _PrefetchIterator:

@@ -800,11 +800,33 @@ def train(config: Config) -> str:
                 base_step + i + 1,
             )
 
-    def flush_chunk(state, chunk, epoch):
-        """Run a group of collated batches through one launch."""
+    scan_mode = train_steps is not None
+
+    def _prep_chunk(chunk):
+        """Producer-side chunk assembly: stacking happens in the
+        prefetch thread so the main thread only device_puts and
+        dispatches (host stack off the critical path)."""
+        if scan_mode:
+            return stack_batches(chunk), len(chunk)
+        return list(chunk), len(chunk)
+
+    def _chunk_stream():
+        chunk = []
+        for b in train_dl:
+            chunk.append(b)
+            if len(chunk) == steps_per_call:
+                yield _prep_chunk(chunk)
+                chunk = []
+        # a remainder chunk of any length scans fine, it just compiles
+        # once per distinct length
+        if chunk:
+            yield _prep_chunk(chunk)
+
+    def flush_payload(state, payload, k, epoch):
+        """Run one prepared chunk through one launch."""
         nonlocal host_step
-        if train_steps is None or (len(chunk) == 1 and not flat_mode):
-            for b in chunk:
+        if not scan_mode:
+            for b in payload:
                 state, metrics = train_step(
                     state, shard_batch(b, mesh)
                 )
@@ -812,19 +834,13 @@ def train(config: Config) -> str:
                 host_step = None
                 _log_metrics(metrics, state, epoch, None)
             return state
-        # scan path (flat or tree state); a remainder chunk of any
-        # length scans fine, it just compiles once per distinct length
-        stacked = shard_batch(
-            stack_batches(chunk), mesh, leading_scan_axis=True
-        )
+        stacked = shard_batch(payload, mesh, leading_scan_axis=True)
         if host_step is None:  # mixed-path fallback: sync once
             host_step = int(state["step"])
         state, packed = train_steps(state, stacked)
         drain_pending()
-        pending_metrics.append(
-            (packed, len(chunk), host_step, epoch)
-        )
-        host_step += len(chunk)
+        pending_metrics.append((packed, k, host_step, epoch))
+        host_step += k
         return state
 
     def _log_metrics(metrics, state, epoch, step):
@@ -840,31 +856,35 @@ def train(config: Config) -> str:
 
     for epoch in range(config.start_epoch, config.epochs):
         train_dl.set_epoch(epoch)
-        chunk = []
         last_ckpt_bucket = 0
-        for idb, batch in enumerate(train_dl):
-            chunk.append(batch)
-            if len(chunk) == steps_per_call:
-                launches += 1
-                if trace_dir and launches == 2:  # post-warmup launch
-                    from mca_tpu.utils.logging import trace_context
+        nb_done = 0
+        if scan_mode and getattr(train_dl, "prefetch", 0) > 0:
+            # chunk-level producer thread: collation (loader thread)
+            # feeds stacking (this thread) feeds device_put (main)
+            from mca_tpu.data.dataset import _PrefetchIterator
 
-                    with trace_context(trace_dir):
-                        state = flush_chunk(state, chunk, epoch)
-                else:
-                    state = flush_chunk(state, chunk, epoch)
-                chunk = []
+            stream = _PrefetchIterator(_chunk_stream, 1)
+        else:
+            stream = _chunk_stream()
+        for payload, k in stream:
+            launches += 1
+            if trace_dir and launches == 2:  # post-warmup launch
+                from mca_tpu.utils.logging import trace_context
+
+                with trace_context(trace_dir):
+                    state = flush_payload(state, payload, k, epoch)
+            else:
+                state = flush_payload(state, payload, k, epoch)
+            nb_done += k
             if config.n_step_checkpoint:
-                bucket = idb // config.n_step_checkpoint
-                if bucket != last_ckpt_bucket and not chunk:
+                bucket = nb_done // config.n_step_checkpoint
+                if bucket != last_ckpt_bucket:
                     last_ckpt_bucket = bucket
                     ckpt.save_state(
                         state_for_checkpoint(state),
                         config.output_dir,
                         asynchronous=True,
                     )
-        if chunk:
-            state = flush_chunk(state, chunk, epoch)
         drain_pending()  # epoch boundary: flush in-flight metrics
         # async: the disk write overlaps the next epoch's launches (the
         # device->host copy completes before return, so donation-safe)

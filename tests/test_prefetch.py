@@ -119,3 +119,56 @@ def test_first_batch_matches_stream_shapes(ds_and_collator):
     for m in fb:
         for k in fb[m]:
             assert fb[m][k].shape == sb[m][k].shape
+
+
+def test_arrow_fast_path_on_disk_dataset(tmp_path, ds_and_collator):
+    """load_from_disk gives a chunked MEMORY-MAPPED table — the layout
+    where Table.take cost ~1s per batch; the slice-based fast path must
+    stay byte-identical to the python-materialisation path there
+    (sequential AND shuffled indices, missing modalities included)."""
+    import datasets as hfds
+
+    from mca_tpu.data.dataset import _arrow_take_rows, _columns_to_rows
+
+    ds_mem, collator = ds_and_collator
+    path = str(tmp_path / "disk_ds")
+    ds_mem.save_to_disk(path)
+    ds = hfds.load_from_disk(path)
+    rng = np.random.default_rng(3)
+    for idx in (list(range(4, 12)), list(rng.integers(0, len(ds), 8))):
+        fast = _arrow_take_rows(ds, idx)
+        slow = _columns_to_rows(ds[[int(i) for i in idx]], len(idx))
+        ba = collator(fast)
+        bb = collator(slow)
+        for m in bb:
+            for k in bb[m]:
+                np.testing.assert_array_equal(
+                    np.asarray(ba[m][k]), np.asarray(bb[m][k]),
+                    err_msg=f"{m}/{k} idx={idx[:3]}...",
+                )
+
+
+def test_arrow_fast_path_on_split_dataset(ds_and_collator):
+    """train_test_split yields an INDICES-MAPPED dataset whose .data
+    table is the full underlying table — the fast path must remap
+    through _indices (regression: it read positionally and returned
+    the wrong rows, caught as a diverging train trajectory)."""
+    from mca_tpu.data.dataset import _arrow_take_rows, _columns_to_rows
+
+    ds, _ = ds_and_collator
+    split = ds.train_test_split(0.25, seed=7)["train"]
+    idx = [5, 1, 9, 3]
+    fast = _arrow_take_rows(split, idx)
+    slow = _columns_to_rows(split[[int(i) for i in idx]], len(idx))
+    for rf, rs in zip(fast, slow):
+        for m in rf:
+            for k in rf[m]:
+                a, b = rf[m][k], rs[m][k]
+                if a is None:
+                    assert b is None or len(np.atleast_1d(b)) == 0
+                else:
+                    np.testing.assert_array_equal(
+                        np.asarray(a, np.float64),
+                        np.asarray(b, np.float64),
+                        err_msg=f"{m}/{k}",
+                    )
