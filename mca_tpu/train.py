@@ -831,12 +831,9 @@ def train(config: Config) -> str:
                     state, shard_batch(b, mesh)
                 )
                 meter.step()
-                host_step = None
                 _log_metrics(metrics, state, epoch, None)
             return state
         stacked = shard_batch(payload, mesh, leading_scan_axis=True)
-        if host_step is None:  # mixed-path fallback: sync once
-            host_step = int(state["step"])
         state, packed = train_steps(state, stacked)
         drain_pending()
         pending_metrics.append((packed, k, host_step, epoch))
@@ -866,25 +863,34 @@ def train(config: Config) -> str:
             stream = _PrefetchIterator(_chunk_stream, 1)
         else:
             stream = _chunk_stream()
-        for payload, k in stream:
-            launches += 1
-            if trace_dir and launches == 2:  # post-warmup launch
-                from mca_tpu.utils.logging import trace_context
+        try:
+            for payload, k in stream:
+                # only full-size chunks count toward the traced
+                # "post-warmup" launch: a remainder chunk compiles a
+                # fresh K-length graph, which would dominate the trace
+                if k == steps_per_call:
+                    launches += 1
+                if trace_dir and launches == 2 and k == steps_per_call:
+                    from mca_tpu.utils.logging import trace_context
 
-                with trace_context(trace_dir):
+                    with trace_context(trace_dir):
+                        state = flush_payload(state, payload, k, epoch)
+                else:
                     state = flush_payload(state, payload, k, epoch)
-            else:
-                state = flush_payload(state, payload, k, epoch)
-            nb_done += k
-            if config.n_step_checkpoint:
-                bucket = nb_done // config.n_step_checkpoint
-                if bucket != last_ckpt_bucket:
-                    last_ckpt_bucket = bucket
-                    ckpt.save_state(
-                        state_for_checkpoint(state),
-                        config.output_dir,
-                        asynchronous=True,
-                    )
+                nb_done += k
+                if config.n_step_checkpoint:
+                    bucket = nb_done // config.n_step_checkpoint
+                    if bucket != last_ckpt_bucket:
+                        last_ckpt_bucket = bucket
+                        ckpt.save_state(
+                            state_for_checkpoint(state),
+                            config.output_dir,
+                            asynchronous=True,
+                        )
+        finally:
+            close = getattr(stream, "close", None)
+            if close is not None:  # stop the producer on error paths
+                close()
         drain_pending()  # epoch boundary: flush in-flight metrics
         # async: the disk write overlaps the next epoch's launches (the
         # device->host copy completes before return, so donation-safe)
