@@ -208,10 +208,55 @@ def part_cmu_stream():
     }), flush=True)
 
 
+def part_tcga_e2e():
+    """TCGA-scale throughput of the REAL train() loop (bench.py stages
+    synthetic batches once; this exercises loader -> collate -> stack
+    -> H2D -> launch end-to-end)."""
+    import __graft_entry__ as ge
+    from mca_tpu.config import training_config_from_dict
+    from mca_tpu.data.synthetic import make_tcga_like, to_hf_dataset
+    from mca_tpu.train import train
+
+    root = "/tmp/measure_tcga_e2e"
+    ds_path = f"{root}/dataset"
+    n_samples = 1280  # 128 train batches = 4 scan launches/epoch
+    if not os.path.isdir(ds_path):
+        os.makedirs(root, exist_ok=True)
+        cfg0 = training_config_from_dict(ge._tcga_config())
+        widths = {
+            m: c["pad_len"] for m, c in cfg0.modality_config.items()
+        }
+        samples = make_tcga_like(
+            n_samples, widths=widths, p_missing=0.25, seed=0
+        )
+        to_hf_dataset(samples).save_to_disk(ds_path)
+    cfg = training_config_from_dict(
+        ge._tcga_config(epochs=3)
+    )
+    cfg.dataset = ds_path
+    cfg.split = 0.2
+    cfg.run_eval_loop = False
+    cfg.output_dir = f"{root}/out"
+    shutil.rmtree(cfg.output_dir, ignore_errors=True)
+    train(cfg)
+    recs = [
+        json.loads(l)
+        for l in open(f"{cfg.output_dir}/metrics.jsonl")
+        if "tokens_per_sec" in l
+    ]
+    tps = [r["tokens_per_sec"] for r in recs]
+    print(json.dumps({
+        "part": "tcga_e2e_train_loop",
+        "tokens_per_sec_last_window": round(tps[-1], 1),
+        "tokens_per_sec_peak_window": round(max(tps), 1),
+    }), flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--part", choices=["eval", "infer", "cmu_stream", "all"],
+        "--part",
+        choices=["eval", "infer", "cmu_stream", "tcga_e2e", "all"],
         default="all",
     )
     args = ap.parse_args()
@@ -221,3 +266,5 @@ if __name__ == "__main__":
         part_infer()
     if args.part in ("cmu_stream", "all"):
         part_cmu_stream()
+    if args.part in ("tcga_e2e", "all"):
+        part_tcga_e2e()

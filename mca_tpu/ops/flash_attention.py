@@ -703,6 +703,45 @@ def make_flash_attention(
 # tile schedule on every jit trace.
 _CACHE = {}
 
+#: candidate block shapes for the per-mask auto-tuner (all lane-legal:
+#: bk multiple of 128, bq of 8; areas bounded by the VMEM budget the
+#: 512x1024 default was validated at).  bq=640 / bk=768 were measured
+#: and only ever regressed (PERF.md round-2 sweep tables), so they are
+#: excluded to keep the one-parameter cost model's picks at each
+#: mask's measured optimum (TCGA -> 384x896, CMU -> 512x1280).
+_BLOCK_CANDIDATES = [
+    (bq, bk)
+    for bq in (256, 320, 384, 448, 512)
+    for bk in (512, 896, 1024, 1280)
+    if bq * bk <= 640 * 1024
+]
+
+#: fixed per-tile cost in score-entry equivalents, fitted to the v5e
+#: full-step sweeps (PERF.md): fewer/fatter tiles win until the padded
+#: area they drag in outweighs the per-tile overhead
+_TILE_OVERHEAD_ENTRIES = 150_000
+
+_AUTO_CACHE = {}
+
+
+def _auto_blocks(attn_mask: np.ndarray) -> Tuple[int, int]:
+    """Pick (block_q, block_k) for a mask by minimising
+    ``visited_entries + _TILE_OVERHEAD_ENTRIES * n_tiles`` over the
+    candidate grid.  Ranks the measured TCGA and CMU sweeps correctly
+    (PERF.md round-2 block tables); exact only up to the fitted
+    constant, so env/explicit overrides always win."""
+    key = (attn_mask.tobytes(), attn_mask.shape)
+    if key not in _AUTO_CACHE:
+        best, best_cost = None, None
+        for bq, bk in _BLOCK_CANDIDATES:
+            q_of, *_ = _tile_schedule(attn_mask, bq, bk)
+            n = len(q_of)
+            cost = n * bq * bk + _TILE_OVERHEAD_ENTRIES * n
+            if best_cost is None or cost < best_cost:
+                best, best_cost = (bq, bk), cost
+        _AUTO_CACHE[key] = best
+    return _AUTO_CACHE[key]
+
 
 def flash_masked_attention(
     q,
@@ -719,23 +758,29 @@ def flash_masked_attention(
 ):
     """Drop-in for dense_masked_attention with a STATIC numpy mask.
 
-    Default block shape is the best of the v5e full-step sweep at TCGA
-    scale (PERF.md); override per-run with ``MCA_FLASH_BLOCK_Q`` /
-    ``MCA_FLASH_BLOCK_K`` (used by the tuning sweeps).  The backward
+    Block shape defaults to the per-mask auto-tuner (``_auto_blocks``,
+    a tile-count/padded-area cost model fitted to the v5e full-step
+    sweeps — the optimum is mask-dependent: 384x896 for the TCGA mask,
+    fatter tiles for CMU); override per-run with ``MCA_FLASH_BLOCK_Q``
+    / ``MCA_FLASH_BLOCK_K`` (used by the tuning sweeps).  The backward
     defaults to the single-pass fused kernel; ``MCA_FLASH_BWD=split``
     selects the two-pass variant (kept as a comparison oracle).
     """
     import os
 
-    if block_q is None:
-        block_q = int(os.environ.get("MCA_FLASH_BLOCK_Q", "512"))
-    if block_k is None:
-        block_k = int(os.environ.get("MCA_FLASH_BLOCK_K", "1024"))
-    if bwd_impl is None:
-        bwd_impl = os.environ.get("MCA_FLASH_BWD", "fused")
     if attn_mask is None:
         attn_mask = np.zeros((q.shape[2], q.shape[2]), bool)
     attn_mask = np.asarray(attn_mask, bool)
+    if block_q is None and "MCA_FLASH_BLOCK_Q" in os.environ:
+        block_q = int(os.environ["MCA_FLASH_BLOCK_Q"])
+    if block_k is None and "MCA_FLASH_BLOCK_K" in os.environ:
+        block_k = int(os.environ["MCA_FLASH_BLOCK_K"])
+    if block_q is None or block_k is None:
+        auto_q, auto_k = _auto_blocks(attn_mask)
+        block_q = auto_q if block_q is None else block_q
+        block_k = auto_k if block_k is None else block_k
+    if bwd_impl is None:
+        bwd_impl = os.environ.get("MCA_FLASH_BWD", "fused")
     key = (
         attn_mask.tobytes(),
         attn_mask.shape,
