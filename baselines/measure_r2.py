@@ -219,7 +219,9 @@ def part_tcga_e2e():
 
     root = "/tmp/measure_tcga_e2e"
     ds_path = f"{root}/dataset"
-    n_samples = 1280  # 128 train batches = 4 scan launches/epoch
+    # 1024 train batches = 32 scan launches/epoch: the sliding window
+    # sees a steady-state tail with epoch boundaries amortised
+    n_samples = 10240
     if not os.path.isdir(ds_path):
         os.makedirs(root, exist_ok=True)
         cfg0 = training_config_from_dict(ge._tcga_config())
@@ -231,7 +233,7 @@ def part_tcga_e2e():
         )
         to_hf_dataset(samples).save_to_disk(ds_path)
     cfg = training_config_from_dict(
-        ge._tcga_config(epochs=3)
+        ge._tcga_config(epochs=2)
     )
     cfg.dataset = ds_path
     cfg.split = 0.2
@@ -244,11 +246,14 @@ def part_tcga_e2e():
         for l in open(f"{cfg.output_dir}/metrics.jsonl")
         if "tokens_per_sec" in l
     ]
-    tps = [r["tokens_per_sec"] for r in recs]
+    tps = [r["tokens_per_sec"] for r in recs if r["tokens_per_sec"]]
+    tail = sorted(tps[len(tps) // 2 :])
     print(json.dumps({
         "part": "tcga_e2e_train_loop",
         "tokens_per_sec_last_window": round(tps[-1], 1),
-        "tokens_per_sec_peak_window": round(max(tps), 1),
+        "tokens_per_sec_median_2nd_half": round(
+            tail[len(tail) // 2], 1
+        ),
     }), flush=True)
 
 

@@ -110,7 +110,10 @@ class ThroughputMeter:
         if len(self._times) < 2:
             return 0.0
         dt = self._times[-1] - self._times[0]
-        if dt <= 0:
+        # scanned launches stamp K steps within microseconds of each
+        # other; until the window spans at least two launches dt is a
+        # burst width, not a rate denominator
+        if dt < 0.01:
             return 0.0
         return (len(self._times) - 1) * self.tokens_per_step / dt
 

@@ -149,3 +149,28 @@ def test_probe_mse_loss():
         fn(jnp.asarray([[1.0], [2.0]]), jnp.asarray([0.0, 0.0]))
     )
     assert val == pytest.approx((1 + 4) / 2)
+
+
+def test_throughput_meter_burst_window():
+    """Scanned launches stamp K steps in one burst; the meter must
+    report 0 until its window spans at least two launches (regression:
+    a single-burst window produced absurd rates from a ~us dt)."""
+    import time as _time
+    from unittest import mock
+
+    from mca_tpu.utils.logging import ThroughputMeter
+
+    m = ThroughputMeter(tokens_per_step=100, warmup_steps=2, window=64)
+    t = [0.0]
+    with mock.patch.object(_time, "perf_counter", lambda: t[0]):
+        from mca_tpu.utils import logging as L
+
+        with mock.patch.object(L.time, "perf_counter", lambda: t[0]):
+            for _ in range(32):  # burst 1 (same timestamp)
+                m.step()
+            assert m.tokens_per_sec == 0.0  # single burst: no rate
+            t[0] = 1.0
+            for _ in range(32):  # burst 2, one second later
+                m.step()
+            rate = m.tokens_per_sec
+            assert 3000 < rate < 6400  # ~62 counted steps over ~1s
