@@ -47,6 +47,15 @@ def main() -> None:
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
     overrides = {"batch_size": batch_size}
     overrides["attention_impl"] = os.environ.get("BENCH_ATTN", "auto")
+    variant = os.environ.get("BENCH_VARIANT", "")  # "" | zorro | eao
+    if variant == "zorro":
+        overrides["zorro"] = True
+    elif variant == "eao":
+        overrides.update(
+            eao=True, no_fusion=True, mean_pool=True,
+            num_fusion_tokens=0, fusion_combos=[2], fcl_root=[0, 1],
+            remat=True,
+        )
     # activations at batch 128 exceed HBM without rematerialisation
     # (measured: 30.8G vs 15.75G); batch 64 still fits and runs 28%
     # faster without remat (320k vs 250k tok/s) — see PERF.md
@@ -155,6 +164,10 @@ def main() -> None:
     # v5e bf16 peak: 197 TFLOP/s/chip.
     flops_per_step = mfu = None
     try:
+        if variant == "eao":
+            raise NotImplementedError(
+                "analytic FLOP model covers the packed MCA/zorro pass"
+            )
         from mca_tpu import masks as masks_lib
 
         mc = get_model_config(cfg)
@@ -211,7 +224,8 @@ def main() -> None:
         json.dumps(
             {
                 "metric": (
-                    f"{dataset.upper()}_config1 MCA pretrain "
+                    f"{dataset.upper()}_config1 "
+                    f"{variant.upper() or 'MCA'} pretrain "
                     f"throughput (fwd+loss+bwd+AdamW, batch "
                     f"{cfg.batch_size}, seq {seq_len})"
                 ),
