@@ -58,12 +58,13 @@ def main() -> None:
         )
     # activations at batch 128 exceed HBM without rematerialisation
     # (measured: 30.8G vs 15.75G); batch 64 still fits and runs 28%
-    # faster without remat (320k vs 250k tok/s) — see PERF.md
-    overrides["remat"] = (
-        os.environ.get("BENCH_REMAT", "auto") == "1"
-        or (os.environ.get("BENCH_REMAT", "auto") == "auto"
-            and batch_size >= 128)
-    )
+    # faster without remat (320k vs 250k tok/s) — see PERF.md.
+    # setdefault: the EAO variant above pins remat=True and an explicit
+    # BENCH_REMAT always wins, the auto heuristic only fills the gap
+    if os.environ.get("BENCH_REMAT", "auto") != "auto":
+        overrides["remat"] = os.environ["BENCH_REMAT"] == "1"
+    else:
+        overrides.setdefault("remat", batch_size >= 128)
     if dataset == "cmu":
         shapes = {
             "COVAREP": (74, 1500),

@@ -115,9 +115,10 @@ def masked_attention(
             scale=scale,
             attn_mask=attn_mask,
             key_padding_mask=key_padding_mask,
-            # Pallas TPU kernels don't lower on CPU hosts; interpret
-            # mode keeps the config value runnable everywhere
-            interpret=jax.default_backend() == "cpu",
+            # Pallas TPU kernels only lower on TPU backends; interpret
+            # mode keeps the config value runnable everywhere else
+            # (CPU tests, GPU hosts)
+            interpret=jax.default_backend() != "tpu",
         )
     if impl == "pallas":
         from mca_tpu.ops.flash_attention import flash_masked_attention
@@ -129,7 +130,7 @@ def masked_attention(
             scale=scale,
             attn_mask=attn_mask,
             key_padding_mask=key_padding_mask,
-            interpret=jax.default_backend() == "cpu",
+            interpret=jax.default_backend() != "tpu",
         )
     if attn_mask is not None:
         attn_mask = jnp.asarray(attn_mask)

@@ -43,6 +43,12 @@ NEG_INF = -1e30
 # are nowhere near this magnitude)
 DEAD_CLAMP = -1e29
 
+# the fused backward keeps dq as a full-length [tq, d] fp32 block
+# VMEM-resident for the whole inner grid (~640KB at canonical scale);
+# beyond this budget (longer packs / fatter heads) fall back to the
+# split backward, which tiles dq like every other operand
+_FUSED_DQ_VMEM_BUDGET = int(4 * 1024 * 1024)
+
 
 def _pad_to(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -689,7 +695,11 @@ def make_flash_attention(
         delta = jnp.sum(
             do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
         )  # [bh, tq]
-        bwd = _bwd_call_fused if bwd_impl == "fused" else _bwd_call
+        use_fused = (
+            bwd_impl == "fused"
+            and tq * d * 4 <= _FUSED_DQ_VMEM_BUDGET
+        )
+        bwd = _bwd_call_fused if use_fused else _bwd_call
         dq, dk, dv = bwd(qf, kf, vf, pad8, do, lse, delta, h)
         unpad = lambda x: x[:, :t].reshape(b, h, t, d)
         return unpad(dq), unpad(dk), unpad(dv), None

@@ -791,8 +791,8 @@ def train(config: Config) -> str:
             return
         packed, k, base_step, epoch_ = pending_metrics.pop()
         host = np.asarray(jax.device_get(packed))  # [K, M]
+        meter.step(k)  # one stamp per launch (burst-exact rate)
         for i in range(k):
-            meter.step()
             _log_metrics(
                 dict(zip(metric_names, host[i])),
                 None,

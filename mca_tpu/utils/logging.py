@@ -98,33 +98,42 @@ class ThroughputMeter:
         self.tokens_per_step = tokens_per_step
         self.warmup_steps = warmup_steps
         self._steps = 0
+        # (stamp_time, steps_in_burst) per LAUNCH: stamps arriving
+        # within one burst merge into the last entry, so the window
+        # always starts at a launch boundary and the rate counts
+        # exactly the steps completed between the first and last stamp
+        # (per-step stamps made partial bursts over-report up to ~2x)
         self._times: "deque" = deque(maxlen=window + 1)
 
-    def step(self):
-        self._steps += 1
-        if self._steps > self.warmup_steps:
-            self._times.append(time.perf_counter())
+    def step(self, n: int = 1):
+        """Record ``n`` completed steps (stamp once per launch)."""
+        self._steps += n
+        if self._steps <= self.warmup_steps:
+            return
+        now = time.perf_counter()
+        if self._times and now - self._times[-1][0] < 0.005:
+            t, c = self._times[-1]
+            self._times[-1] = (t, c + n)
+        else:
+            self._times.append((now, n))
 
     @property
     def tokens_per_sec(self) -> float:
         if len(self._times) < 2:
             return 0.0
-        dt = self._times[-1] - self._times[0]
-        # scanned launches stamp K steps within microseconds of each
-        # other; until the window spans at least two launches dt is a
-        # burst width, not a rate denominator
-        if dt < 0.01:
+        dt = self._times[-1][0] - self._times[0][0]
+        if dt <= 0:
             return 0.0
-        return (len(self._times) - 1) * self.tokens_per_step / dt
+        n = sum(c for _, c in list(self._times)[1:])
+        return n * self.tokens_per_step / dt
 
     @property
     def step_ms(self) -> float:
         if len(self._times) < 2:
             return 0.0
+        n = sum(c for _, c in list(self._times)[1:])
         return (
-            (self._times[-1] - self._times[0])
-            / (len(self._times) - 1)
-            * 1000.0
+            (self._times[-1][0] - self._times[0][0]) / max(n, 1) * 1000.0
         )
 
 

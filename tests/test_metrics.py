@@ -173,4 +173,7 @@ def test_throughput_meter_burst_window():
             for _ in range(32):  # burst 2, one second later
                 m.step()
             rate = m.tokens_per_sec
-            assert 3000 < rate < 6400  # ~62 counted steps over ~1s
+            # burst-merged stamps: exactly the 32 steps of burst 2
+            # completed in the 1s window (per-step stamps used to
+            # count up to K-1 steps from before the window start)
+            assert rate == pytest.approx(3200.0)
