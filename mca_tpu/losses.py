@@ -56,19 +56,34 @@ def combo_log_name(
 
 
 def _masked_row_ce(
-    logits: Array, labels: Array, mask: Optional[Array]
+    logits: Array,
+    labels: Array,
+    mask: Optional[Array],
+    axis_name: Optional[str] = None,
 ) -> Array:
-    """Mean cross-entropy over (optionally masked) rows; NaN if empty."""
+    """Mean cross-entropy over (optionally masked) rows; NaN if empty.
+
+    With ``axis_name`` the mean weights ROWS of the global batch, not
+    shards: per-shard loss sums and mask counts are ``psum``-ed before
+    dividing, reproducing the reference's row-masked mean over the
+    all-gathered batch exactly even when presence is unbalanced across
+    shards (ref utils/contrastive_loss_with_temperature.py:89-100).
+    """
     logp = jax.nn.log_softmax(logits, axis=-1)
     row_loss = -jnp.take_along_axis(
         logp, labels[:, None], axis=-1
     ).squeeze(-1)
-    if mask is None:
-        return row_loss.mean()
-    m = mask.astype(row_loss.dtype)
+    m = (
+        jnp.ones_like(row_loss)
+        if mask is None
+        else mask.astype(row_loss.dtype)
+    )
+    s = (row_loss * m).sum()
     cnt = m.sum()
-    mean = (row_loss * m).sum() / jnp.maximum(cnt, 1.0)
-    return jnp.where(cnt > 0, mean, jnp.nan)
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+        cnt = jax.lax.psum(cnt, axis_name)
+    return jnp.where(cnt > 0, s / jnp.maximum(cnt, 1.0), jnp.nan)
 
 
 def clip_contrastive_loss(
@@ -99,8 +114,8 @@ def clip_contrastive_loss(
     emb_b32 = emb_b.astype(jnp.float32)
     logits_a = (emb_a32 @ b_all.astype(jnp.float32).T) * temperature
     logits_b = (emb_b32 @ a_all.astype(jnp.float32).T) * temperature
-    loss_a = _masked_row_ce(logits_a, labels, mask)
-    loss_b = _masked_row_ce(logits_b, labels, mask)
+    loss_a = _masked_row_ce(logits_a, labels, mask, axis_name)
+    loss_b = _masked_row_ce(logits_b, labels, mask, axis_name)
     return (loss_a + loss_b) / 2
 
 

@@ -140,26 +140,12 @@ def test_shard_map_loss_axis_equals_global():
     @jax.jit
     def distributed(params, batch):
         def inner(batch):
-            out = sharded_model.apply(params, batch)
-            # reference semantics: every worker computes the same
-            # global average over finite pair losses; the per-shard
-            # row-masked means differ, so average them sample-weighted
-            losses = out["losses"]
-            vals = jnp.stack(list(losses.values()))
-            finite = jnp.isfinite(vals)
-            # global mean of each pair loss across shards (each shard's
-            # value is already a mean over ITS selected rows; equal
-            # weighting holds when shards have equal counts, which the
-            # global-batch construction of the jit path also assumes)
-            g_vals = jax.lax.pmean(
-                jnp.where(finite, vals, 0.0), "data"
-            )
-            g_cnt = jax.lax.pmean(finite.astype(jnp.float32), "data")
-            per_pair = g_vals / jnp.maximum(g_cnt, 1e-9)
-            alive = g_cnt > 0
-            return jnp.where(
-                alive, per_pair, 0.0
-            ).sum() / jnp.maximum(alive.sum(), 1)
+            # each pair loss psums row-loss sums and mask counts over
+            # 'data', so every shard holds the identical global
+            # row-weighted mean (ref semantics: mask rows of the
+            # GLOBAL batch, mean over all selected rows) and the
+            # NaN-safe pair aggregation is shard-invariant
+            return sharded_model.apply(params, batch)["loss"]
 
         return shard_map(
             inner,
@@ -171,7 +157,8 @@ def test_shard_map_loss_axis_equals_global():
 
     sharded_batch = jax.tree.map(jnp.asarray, batch)
     multi = float(distributed(params, sharded_batch))
-    # NOTE: row-masked means are weighted per-shard here vs per-row in
-    # the jit path; with this seed every shard has equal presence
-    # counts only approximately -> modest tolerance
-    np.testing.assert_allclose(multi, single, rtol=0.15)
+    # exact reference semantics on both paths now: the explicit
+    # shard_map collectives reproduce the jit-partitioner global loss
+    # to fp32 reduction-order noise even with unbalanced presence
+    # (p_missing=0.25 -> shards have unequal mask counts)
+    np.testing.assert_allclose(multi, single, rtol=1e-5)
