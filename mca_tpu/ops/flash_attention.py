@@ -383,6 +383,94 @@ def _dkv_kernel(
 # ---------------------------------------------------------------------------
 
 
+def _partition_enabled() -> bool:
+    import os
+
+    return os.environ.get("MCA_FLASH_NO_PARTITION", "0") != "1"
+
+
+def _shard_batch_heads(fn, rule: str, n_repl: int = 0):
+    """Batch/head partitioning rule for a Pallas-calling local fn.
+
+    ``pallas_call`` is opaque to the XLA partitioner: under jit over a
+    sharded batch it would be REPLICATED (inputs all-gathered onto
+    every device), destroying data-parallel scaling of the production
+    train step.  The kernels are embarrassingly parallel over the
+    batch and head dims, so ``custom_partitioning`` declares exactly
+    that: arguments keep whatever (batch, head) sharding they arrive
+    with — e.g. batch on ``data``, heads on ``model`` under megatron
+    tensor parallelism (``mca_tpu.parallel.sharding``) — while the
+    sequence/feature dims are forced replicated (the tile schedule is
+    derived from the full static mask), and the per-shard lowering is
+    just ``fn`` on local shapes.  The equivalent collective layout the
+    reference reaches via DDP+NCCL (ref train_accel_gpu.py:93-95) falls
+    out with zero communication inside attention.
+
+    ``rule`` is the Shardy factor rule, e.g.
+    ``"b h t d, b h s d, b h s d, b s, n, n -> b h t d, b h t"``;
+    the trailing ``n_repl`` operands (tile schedules, int8 mask) are
+    forced fully replicated.
+    """
+    from jax.experimental.custom_partitioning import (
+        custom_partitioning,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    op = custom_partitioning(fn)
+
+    def _spec_for(rank, bspec, hspec):
+        if rank == 2:
+            return PartitionSpec(bspec, None)
+        if rank == 3:
+            return PartitionSpec(bspec, hspec, None)
+        return PartitionSpec(bspec, hspec, None, None)
+
+    def _bh(arg_shapes):
+        spec = arg_shapes[0].sharding.spec
+        b = spec[0] if len(spec) > 0 else None
+        h = spec[1] if len(spec) > 1 else None
+        return b, h
+
+    def _out_shardings(mesh, arg_shapes, result_shape):
+        b, h = _bh(arg_shapes)
+        seq = isinstance(result_shape, (tuple, list))
+        results = result_shape if seq else (result_shape,)
+        outs = tuple(
+            NamedSharding(mesh, _spec_for(len(r.shape), b, h))
+            for r in results
+        )
+        return outs if seq else outs[0]
+
+    def partition(mesh, arg_shapes, result_shape):
+        b, h = _bh(arg_shapes)
+        n_bh = len(arg_shapes) - n_repl
+        arg_shardings = tuple(
+            NamedSharding(
+                mesh,
+                _spec_for(len(a.shape), b, h)
+                if i < n_bh
+                else PartitionSpec(),
+            )
+            for i, a in enumerate(arg_shapes)
+        )
+        return (
+            mesh,
+            fn,
+            _out_shardings(mesh, arg_shapes, result_shape),
+            arg_shardings,
+        )
+
+    def infer(mesh, arg_shapes, result_shape):
+        return _out_shardings(mesh, arg_shapes, result_shape)
+
+    op.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+    )
+    return op
+
+
 def _prep_mask(
     attn_mask: np.ndarray, block_q: int, block_k: int
 ) -> np.ndarray:
@@ -457,7 +545,7 @@ def make_flash_attention(
     def _mask_ops():
         return [jnp.asarray(mask8)] if has_mask else []
 
-    def _fwd_call(q, k, v, pad8, h):
+    def _fwd_call(q, k, v, pad8, h, sched, mask_op):
         bh = q.shape[0]
         grid = (bh, n_tiles)
         out, lse = pl.pallas_call(
@@ -507,11 +595,12 @@ def make_flash_attention(
                 jax.ShapeDtypeStruct((bh, tq, 8), jnp.float32),
             ],
             interpret=interpret,
-        )(jnp.asarray(q_of), jnp.asarray(kv_of), q, k, v,
-          *_mask_ops(), pad8)
+        )(sched[0], sched[1], q, k, v, *mask_op, pad8)
         return out, lse[:, :, 0]
 
-    def _bwd_call(q, k, v, pad8, do, lse, delta, h):
+    def _bwd_call(
+        q, k, v, pad8, do, lse, delta, h, sched_q, sched_kv, mask_op
+    ):
         bh = q.shape[0]
         d = q.shape[-1]
         lse = jnp.broadcast_to(lse[:, :, None], (bh, tq, 8))
@@ -566,8 +655,8 @@ def make_flash_attention(
                 jax.ShapeDtypeStruct((bh, tq, d), q.dtype)
             ],
             interpret=interpret,
-        )(jnp.asarray(q_of), jnp.asarray(kv_of), q, k, v,
-          *_mask_ops(), pad8, do, lse, delta)[0]
+        )(sched_q[0], sched_q[1], q, k, v,
+          *mask_op, pad8, do, lse, delta)[0]
 
         dk, dv = pl.pallas_call(
             functools.partial(
@@ -597,11 +686,13 @@ def make_flash_attention(
                 jax.ShapeDtypeStruct((bh, tk, d), q.dtype),
             ],
             interpret=interpret,
-        )(jnp.asarray(q_of2), jnp.asarray(kv_of2), q, k, v,
-          *_mask_ops(), pad8, do, lse, delta)
+        )(sched_kv[0], sched_kv[1], q, k, v,
+          *mask_op, pad8, do, lse, delta)
         return dq, dk, dv
 
-    def _bwd_call_fused(q, k, v, pad8, do, lse, delta, h):
+    def _bwd_call_fused(
+        q, k, v, pad8, do, lse, delta, h, sched_q, sched_kv, mask_op
+    ):
         bh = q.shape[0]
         d = q.shape[-1]
         lse = jnp.broadcast_to(lse[:, :, None], (bh, tq, 8))
@@ -670,9 +761,79 @@ def make_flash_attention(
                 jax.ShapeDtypeStruct((bh, tk, d), q.dtype),
             ],
             interpret=interpret,
-        )(jnp.asarray(q_of2), jnp.asarray(kv_of2), q, k, v,
-          *_mask_ops(), pad8, do, lse, delta)
+        )(sched_kv[0], sched_kv[1], q, k, v,
+          *mask_op, pad8, do, lse, delta)
         return dq.astype(q.dtype), dk, dv
+
+    # Local (per-shard) implementations at the [B, H, T, D] level.
+    # These are the units custom_partitioning wraps: pure array fns of
+    # batch/head-parallel operands with static T (the mask's length,
+    # replicated under any sharding).  The tile-schedule arrays and the
+    # int8 mask ride as explicit REPLICATED operands — custom
+    # partitioning forbids closed-over array constants.
+
+    def _fwd_local(q, k, v, pad, qo, ko, *mask_op):
+        b, h, t, d = q.shape
+        qf = _pad_q(q.reshape(b * h, t, d))
+        kf = _pad_kv(k.reshape(b * h, t, d))
+        vf = _pad_kv(v.reshape(b * h, t, d))
+        pad8 = _pad_keymask(pad, b)
+        out, lse = _fwd_call(qf, kf, vf, pad8, h, (qo, ko), mask_op)
+        return (
+            out[:, :t].reshape(b, h, t, d),
+            lse[:, :t].reshape(b, h, t),
+        )
+
+    def _bwd_local(
+        q, k, v, pad, do, lse, delta, qo, ko, qo2, ko2, *mask_op
+    ):
+        b, h, t, d = q.shape
+        qf = _pad_q(q.reshape(b * h, t, d))
+        kf = _pad_kv(k.reshape(b * h, t, d))
+        vf = _pad_kv(v.reshape(b * h, t, d))
+        pad8 = _pad_keymask(pad, b)
+        dof = _pad_q(do.reshape(b * h, t, d))
+        # padded-q rows re-enter with lse/delta == 0, so p == 1 there —
+        # harmless: every gradient term multiplies do or delta, both
+        # zero on padded rows
+        lsef = jnp.pad(lse.reshape(b * h, t), ((0, 0), (0, tq - t)))
+        deltaf = jnp.pad(
+            delta.reshape(b * h, t), ((0, 0), (0, tq - t))
+        )
+        use_fused = (
+            bwd_impl == "fused"
+            and tq * d * 4 <= _FUSED_DQ_VMEM_BUDGET
+        )
+        bwd = _bwd_call_fused if use_fused else _bwd_call
+        dq, dk, dv = bwd(
+            qf, kf, vf, pad8, dof, lsef, deltaf, h,
+            (qo, ko), (qo2, ko2), mask_op,
+        )
+        unpad = lambda x: x[:, :t].reshape(b, h, t, d)
+        return unpad(dq), unpad(dk), unpad(dv)
+
+    fwd_op, bwd_op = _fwd_local, _bwd_local
+    if _partition_enabled():
+        mask_rule = ", e f" if has_mask else ""
+        fwd_op = _shard_batch_heads(
+            _fwd_local,
+            "b h t d, b h s d, b h s d, b s, n, n" + mask_rule
+            + " -> b h t d, b h t",
+            n_repl=2 + int(has_mask),
+        )
+        bwd_op = _shard_batch_heads(
+            _bwd_local,
+            "b h t d, b h s d, b h s d, b s, b h t d, b h t, b h t,"
+            " n, n, n, n" + mask_rule
+            + " -> b h t d, b h s d, b h s d",
+            n_repl=4 + int(has_mask),
+        )
+
+    def _consts():
+        return (
+            tuple(jnp.asarray(a) for a in (q_of, kv_of, q_of2, kv_of2)),
+            tuple(_mask_ops()),
+        )
 
     @jax.custom_vjp
     def flash(q, k, v, key_padding_mask):
@@ -680,29 +841,25 @@ def make_flash_attention(
         return out
 
     def _flash_fwd(q, k, v, key_padding_mask):
-        b, h, t, d = q.shape
-        qf = _pad_q(q.reshape(b * h, t, d))
-        kf = _pad_kv(k.reshape(b * h, t, d))
-        vf = _pad_kv(v.reshape(b * h, t, d))
-        pad8 = _pad_keymask(key_padding_mask, b)
-        out, lse = _fwd_call(qf, kf, vf, pad8, h)
-        res = (qf, kf, vf, pad8, out, lse, (b, h, t, d))
-        return out[:, :t].reshape(b, h, t, d), res
+        pad = (
+            jnp.zeros((q.shape[0], t_real), jnp.int8)
+            if key_padding_mask is None
+            else key_padding_mask.astype(jnp.int8)
+        )
+        (qo, ko, _, _), mask_op = _consts()
+        out, lse = fwd_op(q, k, v, pad, qo, ko, *mask_op)
+        return out, (q, k, v, pad, out, lse)
 
     def _flash_bwd(res, g):
-        qf, kf, vf, pad8, out, lse, (b, h, t, d) = res
-        do = _pad_q(g.reshape(b * h, t, d))
+        q, k, v, pad, out, lse = res
         delta = jnp.sum(
-            do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
-        )  # [bh, tq]
-        use_fused = (
-            bwd_impl == "fused"
-            and tq * d * 4 <= _FUSED_DQ_VMEM_BUDGET
+            g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+        )  # [B, H, T]
+        (qo, ko, qo2, ko2), mask_op = _consts()
+        dq, dk, dv = bwd_op(
+            q, k, v, pad, g, lse, delta, qo, ko, qo2, ko2, *mask_op
         )
-        bwd = _bwd_call_fused if use_fused else _bwd_call
-        dq, dk, dv = bwd(qf, kf, vf, pad8, do, lse, delta, h)
-        unpad = lambda x: x[:, :t].reshape(b, h, t, d)
-        return unpad(dq), unpad(dk), unpad(dv), None
+        return dq, dk, dv, None
 
     flash.defvjp(_flash_fwd, _flash_bwd)
     return flash

@@ -24,9 +24,9 @@ from mca_tpu.train import (
 )
 
 
-def _setup(batch_size=8):
+def _setup(batch_size=8, **overrides):
     cfg = training_config_from_dict(
-        tiny_config("tcga", batch_size=batch_size)
+        tiny_config("tcga", batch_size=batch_size, **overrides)
     )
     model = build_model(get_model_config(cfg))
     widths = {m: c["pad_len"] for m, c in cfg.modality_config.items()}
@@ -162,3 +162,130 @@ def test_shard_map_loss_axis_equals_global():
     # to fp32 reduction-order noise even with unbalanced presence
     # (p_missing=0.25 -> shards have unequal mask counts)
     np.testing.assert_allclose(multi, single, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# PRODUCTION-path multi-device pins (VERDICT r2 item 1): the bench/train
+# fast path — bf16 + Pallas flash (interpret on the CPU mesh) +
+# flat-vector state + lax.scan K-step launches — must produce the same
+# losses and parameters on a mesh as on one device.  The Pallas kernel
+# participates in partitioning via its custom_partitioning rule
+# (mca_tpu.ops.flash_attention._shard_batch_heads); without it the
+# kernel would be replicated (inputs all-gathered), which these tests
+# would catch as either an error or a numeric mismatch.
+# ---------------------------------------------------------------------------
+
+
+def _production_apparatus(cfg, model, batches):
+    from mca_tpu.train import (
+        make_flat_apparatus,
+        make_flat_train_step_scan,
+        stack_batches,
+        step_metric_names,
+    )
+
+    batch0 = jax.tree.map(jnp.asarray, batches[0])
+    tx = make_optimizer(cfg, 10)
+    schedule = hf_lr_schedule(
+        cfg.lr_scheduler_type, cfg.lr, cfg.num_warmup_steps, 10
+    )
+    state0 = init_state(model, tx, batch0, seed=0)
+    names = step_metric_names(model, tx, schedule, state0, batch0)
+    flat0, unravel, flat_tx = make_flat_apparatus(
+        cfg, 10, state0["params"]
+    )
+    steps = make_flat_train_step_scan(
+        model, flat_tx, schedule, unravel, names
+    )
+    stacked = stack_batches(batches)
+
+    def fresh_state():
+        f = jnp.array(flat0)
+        return {
+            "flat": f,
+            "opt_state": flat_tx.init(f),
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    return steps, fresh_state, stacked
+
+
+def test_production_flat_scan_pallas_bf16_dp_matches_single():
+    """Flat-state scan (K=2) with bf16 + pallas flash: DP-8 mesh ==
+    single device, losses and updated parameter vector."""
+    cfg, model, _ = _setup(
+        batch_size=8, precision="bf16", attention_impl="pallas"
+    )
+    widths = {m: c["pad_len"] for m, c in cfg.modality_config.items()}
+    collate = MultimodalCollator(cfg.modality_config.to_plain())
+    batches = [
+        collate(
+            make_tcga_like(8, widths=widths, p_missing=0.25, seed=s)
+        )
+        for s in (0, 1)
+    ]
+    steps, fresh_state, stacked = _production_apparatus(
+        cfg, model, batches
+    )
+
+    s1, m1 = steps(fresh_state(), jax.tree.map(jnp.asarray, stacked))
+    m1, flat1 = np.asarray(m1), np.asarray(s1["flat"])
+
+    mesh = make_mesh(8, 1)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    state2 = jax.tree.map(
+        lambda x: jax.device_put(x, repl), fresh_state()
+    )
+    s2, m2 = steps(state2, shard_batch(stacked, mesh, leading_scan_axis=True))
+    m2, flat2 = np.asarray(m2), np.asarray(s2["flat"])
+
+    # bf16 matmul products accumulate in fp32; partitioned reductions
+    # only reorder those accumulations
+    np.testing.assert_allclose(m2, m1, rtol=2e-3, atol=2e-4)
+    # AdamW's grad/sqrt(v) normalisation amplifies fp reduction-order
+    # noise on near-zero entries -> absolute tolerance dominates there
+    np.testing.assert_allclose(flat2, flat1, rtol=2e-3, atol=1e-4)
+
+
+def test_production_tree_step_pallas_bf16_dp_tp_matches_single():
+    """Tree-state single step with bf16 + pallas flash under DP x TP
+    (4x2) shardings == unsharded step (megatron head sharding composes
+    with the kernel's batch/head partitioning rule)."""
+    cfg, model, batch = _setup(
+        batch_size=8, precision="bf16", attention_impl="pallas"
+    )
+    tx = make_optimizer(cfg, 10)
+    schedule = hf_lr_schedule(
+        cfg.lr_scheduler_type, cfg.lr, cfg.num_warmup_steps, 10
+    )
+    step = make_train_step(model, tx, schedule)
+
+    batch_j = jax.tree.map(jnp.asarray, batch)
+    state = init_state(model, tx, batch_j, seed=0)
+    ref_params = jax.tree.map(np.copy, state["params"])
+    state1, metrics1 = step(state, batch_j)
+
+    mesh = make_mesh(4, 2)
+    state2 = {
+        "params": shard_params(
+            jax.tree.map(jnp.asarray, ref_params), mesh
+        ),
+        "opt_state": tx.init(
+            shard_params(jax.tree.map(jnp.asarray, ref_params), mesh)
+        ),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    state2, metrics2 = step(state2, shard_batch(batch, mesh))
+    np.testing.assert_allclose(
+        float(metrics2["total_loss"]),
+        float(metrics1["total_loss"]),
+        rtol=2e-3,
+    )
+    flat1 = jax.tree.leaves(jax.device_get(state1["params"]))
+    flat2 = jax.tree.leaves(jax.device_get(state2["params"]))
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=4e-3, atol=2e-4
+        )
