@@ -164,7 +164,13 @@ def part_cmu_stream():
         to_hf_dataset(samples).save_to_disk(ds_path)
 
     results = {}
-    for mode, preload in (("stream", False), ("preload", True)):
+    for mode, preload in (
+        ("stream", False),
+        # stage_dtype=fp16: half the bytes over the H2D relay (the
+        # measured bottleneck, PERF.md) — VERDICT r2 item 7
+        ("stream_fp16", False),
+        ("preload", True),
+    ):
         cfg = training_config_from_dict(
             tiny_config(
                 "cmu",
@@ -185,6 +191,8 @@ def part_cmu_stream():
         cfg.split = 0.2
         cfg.run_eval_loop = False
         cfg.preload_dataset = preload
+        if mode.endswith("_fp16"):
+            cfg.stage_dtype = "fp16"
         cfg.output_dir = f"{root}/out_{mode}"
         shutil.rmtree(cfg.output_dir, ignore_errors=True)
         train(cfg)
@@ -203,6 +211,7 @@ def part_cmu_stream():
     print(json.dumps({
         "part": "cmu_stream_vs_preload",
         "stream": results["stream"],
+        "stream_fp16": results.get("stream_fp16"),
         "preload": results["preload"],
         "ratio": round(results["stream"] / results["preload"], 4),
     }), flush=True)

@@ -55,6 +55,11 @@ def main() -> None:
             eao=True, no_fusion=True, mean_pool=True,
             num_fusion_tokens=0, fusion_combos=[2], fcl_root=[0, 1],
             remat=True,
+            # BENCH_EAO_GROUP=0 measures the sequential per-channel
+            # passes (the reference's structure) for A/B comparison
+            eao_group_channels=(
+                os.environ.get("BENCH_EAO_GROUP", "1") == "1"
+            ),
         )
     # activations at batch 128 exceed HBM without rematerialisation
     # (measured: 30.8G vs 15.75G); batch 64 still fits and runs 28%
@@ -165,10 +170,6 @@ def main() -> None:
     # v5e bf16 peak: 197 TFLOP/s/chip.
     flops_per_step = mfu = None
     try:
-        if variant == "eao":
-            raise NotImplementedError(
-                "analytic FLOP model covers the packed MCA/zorro pass"
-            )
         from mca_tpu import masks as masks_lib
 
         mc = get_model_config(cfg)
@@ -179,25 +180,47 @@ def main() -> None:
             int(e["max_tokens"])
             for e in cfg.encoder_configs.values()
         ]
-        ms = masks_lib.build_masks(
-            token_dims,
-            int(cfg.num_fusion_tokens),
-            list(cfg.fusion_combos),
-            zorro=bool(cfg.zorro),
-            fcl=bool(cfg.get("fcl", False)),
-            no_fusion=bool(cfg.get("no_fusion", False)),
-        )
-        T = ms.seq_len
-        # useful attention FLOPs only (unmasked score entries) — block-
-        # independent, so bigger tiles don't inflate MFU with the
-        # wasted compute they carry
-        n_unmasked = int((~np.asarray(ms.attn_mask, bool)).sum())
-        proj = 2 * B * T * D * (H * dh * 4)  # to_q + to_kv(2x) + out
-        attn = B * H * 4 * dh * n_unmasked  # QK^T + AV
         inner = int(D * mc["ff_mult"] * 2 / 3)
-        ff = 2 * B * T * (D * 2 * inner + inner * D)
+
+        def stack_fwd_flops(T, n_unmasked):
+            """One transformer pass over a packed length-T sequence.
+            Counts projections, useful attention score entries only
+            (QK^T + AV over unmasked pairs), and the GEGLU FF."""
+            proj = 2 * B * T * D * (H * dh * 4)
+            attn = B * H * 4 * dh * n_unmasked
+            ff = 2 * B * T * (D * 2 * inner + inner * D)
+            return proj + attn + ff
+
         enc = 2 * B * sum(token_dims) * D * (D + 2)  # value encoders
-        fwd = depth * (proj + attn + ff) + enc
+        if variant == "eao":
+            # one unmasked pass per unimodal channel + per combo
+            # (ref model.py:571-596); grouping equal-length channels
+            # changes launches, not FLOPs
+            combos = masks_lib.adjusted_powerset(
+                range(len(token_dims)), list(cfg.fusion_combos)
+            )
+            channels = [(i,) for i in range(len(token_dims))] + [
+                tuple(c) for c in combos
+            ]
+            fwd = enc
+            for ch in channels:
+                T = sum(token_dims[i] for i in ch)
+                fwd += depth * stack_fwd_flops(T, T * T)
+        else:
+            ms = masks_lib.build_masks(
+                token_dims,
+                int(cfg.num_fusion_tokens),
+                list(cfg.fusion_combos),
+                zorro=bool(cfg.zorro),
+                fcl=bool(cfg.get("fcl", False)),
+                no_fusion=bool(cfg.get("no_fusion", False)),
+            )
+            T = ms.seq_len
+            # useful attention FLOPs only (unmasked score entries) —
+            # block-independent, so bigger tiles don't inflate MFU
+            # with the wasted compute they carry
+            n_unmasked = int((~np.asarray(ms.attn_mask, bool)).sum())
+            fwd = depth * stack_fwd_flops(T, n_unmasked) + enc
         flops_per_step = 3.0 * fwd  # fwd + bwd(2x)
         if "v5 lite" in str(jax.devices()[0]):
             mfu = flops_per_step / dt / 197e12

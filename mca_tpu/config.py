@@ -281,6 +281,8 @@ def get_model_config(config: Config) -> Dict[str, Any]:
         "precision": config.get("precision", "bf16"),
         "attention_impl": config.get("attention_impl", "auto"),
         "remat": config.get("remat", False),
+        # EAO-only (build_model filters by dataclass fields)
+        "group_channels": config.get("eao_group_channels", True),
     }
 
 

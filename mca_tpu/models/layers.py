@@ -88,7 +88,8 @@ class Attention(nn.Module):
         context: Optional[Array] = None,
         attn_mask: Optional[Array] = None,
         key_padding_mask: Optional[Array] = None,
-    ) -> Array:
+        return_attn: bool = False,
+    ):
         inner = self.dim_head * self.heads
         kv_x = x if context is None else context
         x = x.astype(self.dtype)
@@ -115,24 +116,45 @@ class Attention(nn.Module):
                 0, 2, 1, 3
             )
 
-        out = masked_attention(
-            split_heads(q),
-            split_heads(k),
-            split_heads(v),
-            scale=self.dim_head**-0.5,
-            attn_mask=attn_mask,
-            key_padding_mask=key_padding_mask,
-            impl=self.impl,
-        )
+        attn_weights = None
+        if return_attn:
+            # introspection hook (ref model.py:79, 102-105): the
+            # probabilities only exist materialised on the dense path
+            from mca_tpu.ops.attention import dense_masked_attention
+
+            out, attn_weights = dense_masked_attention(
+                split_heads(q),
+                split_heads(k),
+                split_heads(v),
+                scale=self.dim_head**-0.5,
+                attn_mask=jnp.asarray(attn_mask)
+                if attn_mask is not None
+                else None,
+                key_padding_mask=key_padding_mask,
+                return_attn=True,
+            )
+        else:
+            out = masked_attention(
+                split_heads(q),
+                split_heads(k),
+                split_heads(v),
+                scale=self.dim_head**-0.5,
+                attn_mask=attn_mask,
+                key_padding_mask=key_padding_mask,
+                impl=self.impl,
+            )
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
-        return nn.Dense(
+        out = nn.Dense(
             self.dim,
             use_bias=False,
             kernel_init=torch_linear_init,
             dtype=self.dtype,
             name="to_out",
         )(out)
+        if return_attn:
+            return out, attn_weights
+        return out
 
 
 class MCALayer(nn.Module):
@@ -166,14 +188,21 @@ class MCALayer(nn.Module):
         x: Array,
         attn_mask: Optional[Array] = None,
         padding_mask: Optional[Array] = None,
-    ) -> Array:
+        return_attn: bool = False,
+    ):
         x = self.norm(x)
-        x = (
-            self.attn(
-                x, attn_mask=attn_mask, key_padding_mask=padding_mask
-            ).astype(x.dtype)
-            + x
+        attn_out = self.attn(
+            x,
+            attn_mask=attn_mask,
+            key_padding_mask=padding_mask,
+            return_attn=return_attn,
         )
+        attn_weights = None
+        if return_attn:
+            attn_out, attn_weights = attn_out
+        x = attn_out.astype(x.dtype) + x
         x = self.norm(x)
         x = self.ff(x).astype(x.dtype) + x
+        if return_attn:
+            return x, attn_weights
         return x

@@ -166,6 +166,62 @@ class MCA(nn.Module):
             sample_mask[m] = (a == 0).sum(axis=1) != 0
         return tokens, pad_masks, sample_mask
 
+    def attention_maps(
+        self,
+        batch: Dict[str, Dict[str, Array]],
+        deterministic: bool = True,
+    ) -> Dict[str, Array]:
+        """Post-softmax attention probabilities for introspection.
+
+        The TPU-native counterpart of the reference's
+        ``Attention(return_attn=True)`` hook (ref model.py:79,
+        102-105): returns ``{"layers": [depth, B, H, T, T]}`` plus
+        ``"pool": [B, H, R, T]`` for attentive pooling.  Always uses
+        the dense attention path (the flash kernel never materialises
+        probabilities).  Use via
+        ``model.apply(params, batch, method="attention_maps")`` or
+        :mod:`mca_tpu.tools.attention_maps`.
+        """
+        tokens, pad_masks, _ = self.encode_modalities(
+            batch, deterministic
+        )
+        bsz = tokens[0].shape[0]
+        if not self.no_fusion:
+            fusion = jnp.broadcast_to(
+                self.fusion_tokens[None],
+                (bsz,) + self.fusion_tokens.shape,
+            )
+            tokens.append(fusion.astype(tokens[0].dtype))
+            pad_masks.append(
+                jnp.zeros(
+                    (bsz, self.mask_set.num_fusion_tokens), dtype=bool
+                )
+            )
+        x = jnp.concatenate(tokens, axis=1)
+        padding = jnp.concatenate(pad_masks, axis=1)
+        attn_mask = self.mask_set.attn_mask
+        x = x.astype(_dtype_of(self.precision))
+        maps = []
+        for layer in self.layers:
+            x, attn = layer(x, attn_mask, padding, return_attn=True)
+            maps.append(attn)
+        out = {"layers": jnp.stack(maps)}
+        if not self.mean_pool:
+            x = self.final_norm(x.astype(jnp.float32))
+            ret = jnp.broadcast_to(
+                self.return_tokens[None],
+                (bsz,) + self.return_tokens.shape,
+            )
+            _, pool_attn = self.attn_pool(
+                ret,
+                context=x,
+                attn_mask=jnp.asarray(self.mask_set.pool_mask),
+                key_padding_mask=padding,
+                return_attn=True,
+            )
+            out["pool"] = pool_attn
+        return out
+
     def __call__(
         self,
         batch: Dict[str, Dict[str, Array]],

@@ -39,8 +39,14 @@ def dense_masked_attention(
     scale: float,
     attn_mask: Optional[Array] = None,
     key_padding_mask: Optional[Array] = None,
-) -> Array:
-    """[B, H, Tq, Dh] x [B, H, Tk, Dh] -> [B, H, Tq, Dh]."""
+    return_attn: bool = False,
+):
+    """[B, H, Tq, Dh] x [B, H, Tk, Dh] -> [B, H, Tq, Dh].
+
+    ``return_attn=True`` also returns the post-softmax probabilities
+    ``[B, H, Tq, Tk]`` (ref model.py:79, 102-105 — an introspection
+    hook; only the dense path materialises them).
+    """
     out_dtype = q.dtype
     sim = jnp.einsum(
         "bhid,bhjd->bhij",
@@ -61,6 +67,8 @@ def dense_masked_attention(
         v,
         preferred_element_type=jnp.float32,
     )
+    if return_attn:
+        return out.astype(out_dtype), attn
     return out.astype(out_dtype)
 
 

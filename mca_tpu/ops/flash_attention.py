@@ -56,12 +56,15 @@ def _pad_to(x: int, m: int) -> int:
 
 def _tile_schedule(
     mask: np.ndarray, block_q: int, block_k: int
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int, int]:
+) -> Tuple[np.ndarray, ...]:
     """CSR tile enumeration of the static mask.
 
-    Returns (q_of_tile, kv_of_tile) in q-major order and
-    (q_of_tile2, kv_of_tile2) in kv-major order, plus padded block
-    counts (nq, nk).  Padded region is fully blocked.
+    Returns (q_of_tile, kv_of_tile, full_of_tile) in q-major order and
+    the same triple in kv-major order, plus padded block counts
+    (nq, nk).  ``full_of_tile`` is 1 where the tile has NO blocked
+    entries at all — the kernels skip the mask load + where there
+    (most interior modality-diagonal tiles at fine block sizes).
+    Padded region is fully blocked.
     """
     t = mask.shape[0]
     tq, tk = _pad_to(t, block_q), _pad_to(t, block_k)
@@ -70,15 +73,59 @@ def _tile_schedule(
     nq, nk = tq // block_q, tk // block_k
     tiles = padded.reshape(nq, block_q, nk, block_k)
     active = ~tiles.all(axis=(1, 3))  # [nq, nk] tile has any unmasked
+    full = ~tiles.any(axis=(1, 3))  # [nq, nk] tile has NO blocked
     qs, ks = np.nonzero(active)  # row-major == q-major order
+    fl = full[qs, ks]
     order2 = np.lexsort((qs, ks))  # kv-major order
     return (
         qs.astype(np.int32),
         ks.astype(np.int32),
+        fl.astype(np.int32),
         qs[order2].astype(np.int32),
         ks[order2].astype(np.int32),
+        fl[order2].astype(np.int32),
         nq,
         nk,
+    )
+
+
+def _apply_masks(s, t, full_of, mask_ref, pad_ref, has_mask,
+                 mask_mode="select"):
+    """Suppress blocked/padded score entries (drive them to ~NEG_INF).
+
+    Three measured variants (PERF.md round 3 bisect, full-step TCGA
+    tok/s at auto blocks):
+
+    - ``select`` (default, 392.5k): boolean int8 mask operand,
+      compare/or/select.
+    - ``add`` (318k): additive bf16 mask (0 / NEG_INF), one add per
+      operand.  Fewer VPU sweeps on paper, but the bf16 tile doubles
+      the per-tile mask DMA bytes and the upcast eats the saving —
+      measured 19% slower end-to-end.
+    - ``skip`` (318.6k): ``select`` plus a per-tile ``lax.cond`` that
+      skips the mask on fully-unmasked tiles.  Mosaic's per-tile
+      branch breaks the software pipeline, and at the tuned coarse
+      blocks there are few-to-zero full tiles to win back the loss.
+
+    The losing variants stay behind MCA_FLASH_MASK_MODE as A/B knobs
+    and regression oracles.
+    """
+    if mask_mode == "add":
+        if has_mask:
+            s = s + mask_ref[:]
+        return s + pad_ref[0][:1, :]
+    pad_row = pad_ref[0][:1, :] != 0  # [1, bk], broadcasts
+    if not has_mask:
+        return jnp.where(pad_row, NEG_INF, s)
+    if mask_mode == "select":
+        return jnp.where((mask_ref[:] != 0) | pad_row, NEG_INF, s)
+    return jax.lax.cond(
+        full_of[t] != 0,
+        lambda s: jnp.where(pad_row, NEG_INF, s),
+        lambda s: jnp.where(
+            (mask_ref[:] != 0) | pad_row, NEG_INF, s
+        ),
+        s,
     )
 
 
@@ -89,10 +136,10 @@ def _tile_schedule(
 
 def _fwd_kernel(
     # scalar prefetch
-    q_of, kv_of,
+    q_of, kv_of, full_of,
     # inputs: q, k, v, [mask,] pad — then outputs and scratch
     q_ref, k_ref, v_ref, *rest,
-    scale: float, has_mask: bool = True,
+    scale: float, has_mask: bool = True, mask_mode: str = "select",
 ):
     if has_mask:
         mask_ref, pad_ref, out_ref, lse_ref, m_scr, l_scr, acc_scr = rest
@@ -123,11 +170,7 @@ def _fwd_kernel(
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [bq, bk] fp32
-    if has_mask:
-        blocked = (mask_ref[:] != 0) | (pad_ref[0][:1, :] != 0)
-    else:  # [1, bk], broadcasts in the where below
-        blocked = pad_ref[0][:1, :] != 0
-    s = jnp.where(blocked, NEG_INF, s)
+    s = _apply_masks(s, t, full_of, mask_ref, pad_ref, has_mask, mask_mode)
 
     m_prev = m_scr[:][:, :1]  # [bq, 1]
     l_prev = l_scr[:][:, :1]
@@ -167,9 +210,9 @@ def _fwd_kernel(
 
 
 def _dq_kernel(
-    q_of, kv_of,
+    q_of, kv_of, full_of,
     q_ref, k_ref, v_ref, *rest,
-    scale: float, has_mask: bool = True,
+    scale: float, has_mask: bool = True, mask_mode: str = "select",
 ):
     if has_mask:
         (mask_ref, pad_ref, do_ref, lse_ref, delta_ref,
@@ -204,11 +247,7 @@ def _dq_kernel(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    if has_mask:
-        blocked = (mask_ref[:] != 0) | (pad_ref[0][:1, :] != 0)
-    else:
-        blocked = pad_ref[0][:1, :] != 0
-    s = jnp.where(blocked, NEG_INF, s)
+    s = _apply_masks(s, t, full_of, mask_ref, pad_ref, has_mask, mask_mode)
     p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
@@ -226,9 +265,10 @@ def _dq_kernel(
 
 
 def _fused_bwd_kernel(
-    q_of, kv_of,
+    q_of, kv_of, full_of,
     q_ref, k_ref, v_ref, *rest,
     scale: float, block_q: int, has_mask: bool = True,
+    mask_mode: str = "select",
 ):
     """Single kv-major pass computing dq, dk and dv together.
 
@@ -281,11 +321,7 @@ def _fused_bwd_kernel(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    if has_mask:
-        blocked = (mask_ref[:] != 0) | (pad_ref[0][:1, :] != 0)
-    else:
-        blocked = pad_ref[0][:1, :] != 0
-    s = jnp.where(blocked, NEG_INF, s)
+    s = _apply_masks(s, t, full_of, mask_ref, pad_ref, has_mask, mask_mode)
     p = jnp.exp(s - lse)
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -313,9 +349,9 @@ def _fused_bwd_kernel(
 
 
 def _dkv_kernel(
-    q_of, kv_of,
+    q_of, kv_of, full_of,
     q_ref, k_ref, v_ref, *rest,
-    scale: float, has_mask: bool = True,
+    scale: float, has_mask: bool = True, mask_mode: str = "select",
 ):
     if has_mask:
         (mask_ref, pad_ref, do_ref, lse_ref, delta_ref,
@@ -352,11 +388,7 @@ def _dkv_kernel(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    if has_mask:
-        blocked = (mask_ref[:] != 0) | (pad_ref[0][:1, :] != 0)
-    else:
-        blocked = pad_ref[0][:1, :] != 0
-    s = jnp.where(blocked, NEG_INF, s)
+    s = _apply_masks(s, t, full_of, mask_ref, pad_ref, has_mask, mask_mode)
     p = jnp.exp(s - lse)
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -472,13 +504,18 @@ def _shard_batch_heads(fn, rule: str, n_repl: int = 0):
 
 
 def _prep_mask(
-    attn_mask: np.ndarray, block_q: int, block_k: int
+    attn_mask: np.ndarray, block_q: int, block_k: int,
+    mask_mode: str = "select",
 ) -> np.ndarray:
     t = attn_mask.shape[0]
     tq, tk = _pad_to(t, block_q), _pad_to(t, block_k)
-    padded = np.ones((tq, tk), dtype=np.int8)
-    padded[:t, :t] = attn_mask.astype(np.int8)
-    return padded
+    padded = np.ones((tq, tk), dtype=bool)
+    padded[:t, :t] = attn_mask
+    if mask_mode == "add":
+        # additive bf16 mask (0 / NEG_INF): one add in the kernel
+        # instead of compare+or+select
+        return np.where(padded, NEG_INF, 0.0).astype(jnp.bfloat16)
+    return padded.astype(np.int8)
 
 
 def make_flash_attention(
@@ -489,6 +526,7 @@ def make_flash_attention(
     block_k: int = 512,
     bwd_impl: str = "fused",
     interpret: bool = False,
+    mask_mode: str = "select",
 ):
     """Build a flash-attention fn for one static mask.
 
@@ -498,9 +536,11 @@ def make_flash_attention(
     """
     assert attn_mask.ndim == 2 and attn_mask.shape[0] == attn_mask.shape[1]
     t_real = attn_mask.shape[0]
-    mask8 = _prep_mask(np.asarray(attn_mask, bool), block_q, block_k)
-    q_of, kv_of, q_of2, kv_of2, nq, nk = _tile_schedule(
-        np.asarray(attn_mask, bool), block_q, block_k
+    mask8 = _prep_mask(
+        np.asarray(attn_mask, bool), block_q, block_k, mask_mode
+    )
+    (q_of, kv_of, full_of, q_of2, kv_of2, full_of2, nq, nk) = (
+        _tile_schedule(np.asarray(attn_mask, bool), block_q, block_k)
     )
     n_tiles = len(q_of)
     tq, tk = nq * block_q, nk * block_k
@@ -525,6 +565,11 @@ def make_flash_attention(
             ((0, 0), (0, tk - t_real)),
             constant_values=1,
         )
+        if mask_mode == "add":
+            # additive bf16 row (0 / NEG_INF), added in the kernel
+            pad2 = jnp.where(
+                pad2 != 0, jnp.bfloat16(NEG_INF), jnp.bfloat16(0)
+            )
         # [B, 8, tk]: TPU blocks need the second-to-last dim >= 8; the
         # 8 rows are identical broadcast copies
         return jnp.broadcast_to(pad2[:, None, :], (b, 8, tk))
@@ -532,13 +577,31 @@ def make_flash_attention(
     # all-zero masks (per-segment unmasked attention) skip the mask
     # operand entirely — no [block_q, block_k] int8 tile DMA per step
     has_mask = bool(np.asarray(attn_mask, bool).any())
+    # the mask BlockSpec routes full tiles to (0, 0) only in skip
+    # mode (their values are then never read); other modes read the
+    # true tile
+    route_full = mask_mode == "skip" and has_mask
 
     def _mask_specs():
         if not has_mask:
             return []
+        if not route_full:
+            return [
+                pl.BlockSpec(
+                    (block_q, block_k),
+                    lambda b, t, qo, ko, fo: (qo[t], ko[t]),
+                )
+            ]
+        # fully-unmasked tiles route to block (0, 0): their mask
+        # values are never read (the kernel's lax.cond skips the
+        # apply), and consecutive full tiles then issue no mask DMA
         return [
             pl.BlockSpec(
-                (block_q, block_k), lambda b, t, qo, ko: (qo[t], ko[t])
+                (block_q, block_k),
+                lambda b, t, qo, ko, fo: (
+                    qo[t] * (1 - fo[t]),
+                    ko[t] * (1 - fo[t]),
+                ),
             )
         ]
 
@@ -550,38 +613,39 @@ def make_flash_attention(
         grid = (bh, n_tiles)
         out, lse = pl.pallas_call(
             functools.partial(
-                _fwd_kernel, scale=scale, has_mask=has_mask
+                _fwd_kernel, scale=scale, has_mask=has_mask,
+                mask_mode=mask_mode,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=3,
                 grid=grid,
                 in_specs=[
                     pl.BlockSpec(
                         (1, block_q, q.shape[-1]),
-                        lambda b, t, qo, ko: (b, qo[t], 0),
+                        lambda b, t, qo, ko, fo: (b, qo[t], 0),
                     ),
                     pl.BlockSpec(
                         (1, block_k, k.shape[-1]),
-                        lambda b, t, qo, ko: (b, ko[t], 0),
+                        lambda b, t, qo, ko, fo: (b, ko[t], 0),
                     ),
                     pl.BlockSpec(
                         (1, block_k, v.shape[-1]),
-                        lambda b, t, qo, ko: (b, ko[t], 0),
+                        lambda b, t, qo, ko, fo: (b, ko[t], 0),
                     ),
                     *_mask_specs(),
                     pl.BlockSpec(
                         (1, 8, block_k),
-                        lambda b, t, qo, ko: (b // h, 0, ko[t]),
+                        lambda b, t, qo, ko, fo: (b // h, 0, ko[t]),
                     ),
                 ],
                 out_specs=[
                     pl.BlockSpec(
                         (1, block_q, q.shape[-1]),
-                        lambda b, t, qo, ko: (b, qo[t], 0),
+                        lambda b, t, qo, ko, fo: (b, qo[t], 0),
                     ),
                     pl.BlockSpec(
                         (1, block_q, 8),
-                        lambda b, t, qo, ko: (b, qo[t], 0),
+                        lambda b, t, qo, ko, fo: (b, qo[t], 0),
                     ),
                 ],
                 scratch_shapes=[
@@ -595,7 +659,7 @@ def make_flash_attention(
                 jax.ShapeDtypeStruct((bh, tq, 8), jnp.float32),
             ],
             interpret=interpret,
-        )(sched[0], sched[1], q, k, v, *mask_op, pad8)
+        )(sched[0], sched[1], sched[2], q, k, v, *mask_op, pad8)
         return out, lse[:, :, 0]
 
     def _bwd_call(
@@ -608,43 +672,44 @@ def make_flash_attention(
 
         common_in_specs = [
             pl.BlockSpec(
-                (1, block_q, d), lambda b, t, qo, ko: (b, qo[t], 0)
+                (1, block_q, d), lambda b, t, qo, ko, fo: (b, qo[t], 0)
             ),
             pl.BlockSpec(
-                (1, block_k, d), lambda b, t, qo, ko: (b, ko[t], 0)
+                (1, block_k, d), lambda b, t, qo, ko, fo: (b, ko[t], 0)
             ),
             pl.BlockSpec(
-                (1, block_k, d), lambda b, t, qo, ko: (b, ko[t], 0)
+                (1, block_k, d), lambda b, t, qo, ko, fo: (b, ko[t], 0)
             ),
             *_mask_specs(),
             pl.BlockSpec(
                 (1, 8, block_k),
-                lambda b, t, qo, ko: (b // h, 0, ko[t]),
+                lambda b, t, qo, ko, fo: (b // h, 0, ko[t]),
             ),
             pl.BlockSpec(
-                (1, block_q, d), lambda b, t, qo, ko: (b, qo[t], 0)
-            ),
-            pl.BlockSpec(
-                (1, block_q, 8),
-                lambda b, t, qo, ko: (b, qo[t], 0),
+                (1, block_q, d), lambda b, t, qo, ko, fo: (b, qo[t], 0)
             ),
             pl.BlockSpec(
                 (1, block_q, 8),
-                lambda b, t, qo, ko: (b, qo[t], 0),
+                lambda b, t, qo, ko, fo: (b, qo[t], 0),
+            ),
+            pl.BlockSpec(
+                (1, block_q, 8),
+                lambda b, t, qo, ko, fo: (b, qo[t], 0),
             ),
         ]
         dq = pl.pallas_call(
             functools.partial(
-                _dq_kernel, scale=scale, has_mask=has_mask
+                _dq_kernel, scale=scale, has_mask=has_mask,
+                mask_mode=mask_mode,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=3,
                 grid=(bh, n_tiles),
                 in_specs=common_in_specs,
                 out_specs=[
                     pl.BlockSpec(
                         (1, block_q, d),
-                        lambda b, t, qo, ko: (b, qo[t], 0),
+                        lambda b, t, qo, ko, fo: (b, qo[t], 0),
                     ),
                 ],
                 scratch_shapes=[
@@ -655,25 +720,26 @@ def make_flash_attention(
                 jax.ShapeDtypeStruct((bh, tq, d), q.dtype)
             ],
             interpret=interpret,
-        )(sched_q[0], sched_q[1], q, k, v,
+        )(sched_q[0], sched_q[1], sched_q[2], q, k, v,
           *mask_op, pad8, do, lse, delta)[0]
 
         dk, dv = pl.pallas_call(
             functools.partial(
-                _dkv_kernel, scale=scale, has_mask=has_mask
+                _dkv_kernel, scale=scale, has_mask=has_mask,
+                mask_mode=mask_mode,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=3,
                 grid=(bh, n_tiles),
                 in_specs=common_in_specs,
                 out_specs=[
                     pl.BlockSpec(
                         (1, block_k, d),
-                        lambda b, t, qo, ko: (b, ko[t], 0),
+                        lambda b, t, qo, ko, fo: (b, ko[t], 0),
                     ),
                     pl.BlockSpec(
                         (1, block_k, d),
-                        lambda b, t, qo, ko: (b, ko[t], 0),
+                        lambda b, t, qo, ko, fo: (b, ko[t], 0),
                     ),
                 ],
                 scratch_shapes=[
@@ -686,7 +752,7 @@ def make_flash_attention(
                 jax.ShapeDtypeStruct((bh, tk, d), q.dtype),
             ],
             interpret=interpret,
-        )(sched_kv[0], sched_kv[1], q, k, v,
+        )(sched_kv[0], sched_kv[1], sched_kv[2], q, k, v,
           *mask_op, pad8, do, lse, delta)
         return dq, dk, dv
 
@@ -699,29 +765,29 @@ def make_flash_attention(
         delta = jnp.broadcast_to(delta[:, :, None], (bh, tq, 8))
         in_specs = [
             pl.BlockSpec(
-                (1, block_q, d), lambda b, t, qo, ko: (b, qo[t], 0)
+                (1, block_q, d), lambda b, t, qo, ko, fo: (b, qo[t], 0)
             ),
             pl.BlockSpec(
-                (1, block_k, d), lambda b, t, qo, ko: (b, ko[t], 0)
+                (1, block_k, d), lambda b, t, qo, ko, fo: (b, ko[t], 0)
             ),
             pl.BlockSpec(
-                (1, block_k, d), lambda b, t, qo, ko: (b, ko[t], 0)
+                (1, block_k, d), lambda b, t, qo, ko, fo: (b, ko[t], 0)
             ),
             *_mask_specs(),
             pl.BlockSpec(
                 (1, 8, block_k),
-                lambda b, t, qo, ko: (b // h, 0, ko[t]),
+                lambda b, t, qo, ko, fo: (b // h, 0, ko[t]),
             ),
             pl.BlockSpec(
-                (1, block_q, d), lambda b, t, qo, ko: (b, qo[t], 0)
-            ),
-            pl.BlockSpec(
-                (1, block_q, 8),
-                lambda b, t, qo, ko: (b, qo[t], 0),
+                (1, block_q, d), lambda b, t, qo, ko, fo: (b, qo[t], 0)
             ),
             pl.BlockSpec(
                 (1, block_q, 8),
-                lambda b, t, qo, ko: (b, qo[t], 0),
+                lambda b, t, qo, ko, fo: (b, qo[t], 0),
+            ),
+            pl.BlockSpec(
+                (1, block_q, 8),
+                lambda b, t, qo, ko, fo: (b, qo[t], 0),
             ),
         ]
         dq, dk, dv = pl.pallas_call(
@@ -730,24 +796,25 @@ def make_flash_attention(
                 scale=scale,
                 block_q=block_q,
                 has_mask=has_mask,
+                mask_mode=mask_mode,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=3,
                 grid=(bh, n_tiles),
                 in_specs=in_specs,
                 out_specs=[
                     # dq: full-length fp32 block, resident for the
                     # whole inner grid (index depends on b only)
                     pl.BlockSpec(
-                        (1, tq, d), lambda b, t, qo, ko: (b, 0, 0)
+                        (1, tq, d), lambda b, t, qo, ko, fo: (b, 0, 0)
                     ),
                     pl.BlockSpec(
                         (1, block_k, d),
-                        lambda b, t, qo, ko: (b, ko[t], 0),
+                        lambda b, t, qo, ko, fo: (b, ko[t], 0),
                     ),
                     pl.BlockSpec(
                         (1, block_k, d),
-                        lambda b, t, qo, ko: (b, ko[t], 0),
+                        lambda b, t, qo, ko, fo: (b, ko[t], 0),
                     ),
                 ],
                 scratch_shapes=[
@@ -761,7 +828,7 @@ def make_flash_attention(
                 jax.ShapeDtypeStruct((bh, tk, d), q.dtype),
             ],
             interpret=interpret,
-        )(sched_kv[0], sched_kv[1], q, k, v,
+        )(sched_kv[0], sched_kv[1], sched_kv[2], q, k, v,
           *mask_op, pad8, do, lse, delta)
         return dq.astype(q.dtype), dk, dv
 
@@ -772,20 +839,21 @@ def make_flash_attention(
     # int8 mask ride as explicit REPLICATED operands — custom
     # partitioning forbids closed-over array constants.
 
-    def _fwd_local(q, k, v, pad, qo, ko, *mask_op):
+    def _fwd_local(q, k, v, pad, qo, ko, fo, *mask_op):
         b, h, t, d = q.shape
         qf = _pad_q(q.reshape(b * h, t, d))
         kf = _pad_kv(k.reshape(b * h, t, d))
         vf = _pad_kv(v.reshape(b * h, t, d))
         pad8 = _pad_keymask(pad, b)
-        out, lse = _fwd_call(qf, kf, vf, pad8, h, (qo, ko), mask_op)
+        out, lse = _fwd_call(qf, kf, vf, pad8, h, (qo, ko, fo), mask_op)
         return (
             out[:, :t].reshape(b, h, t, d),
             lse[:, :t].reshape(b, h, t),
         )
 
     def _bwd_local(
-        q, k, v, pad, do, lse, delta, qo, ko, qo2, ko2, *mask_op
+        q, k, v, pad, do, lse, delta,
+        qo, ko, fo, qo2, ko2, fo2, *mask_op,
     ):
         b, h, t, d = q.shape
         qf = _pad_q(q.reshape(b * h, t, d))
@@ -807,7 +875,7 @@ def make_flash_attention(
         bwd = _bwd_call_fused if use_fused else _bwd_call
         dq, dk, dv = bwd(
             qf, kf, vf, pad8, dof, lsef, deltaf, h,
-            (qo, ko), (qo2, ko2), mask_op,
+            (qo, ko, fo), (qo2, ko2, fo2), mask_op,
         )
         unpad = lambda x: x[:, :t].reshape(b, h, t, d)
         return unpad(dq), unpad(dk), unpad(dv)
@@ -817,21 +885,24 @@ def make_flash_attention(
         mask_rule = ", e f" if has_mask else ""
         fwd_op = _shard_batch_heads(
             _fwd_local,
-            "b h t d, b h s d, b h s d, b s, n, n" + mask_rule
+            "b h t d, b h s d, b h s d, b s, n, n, n" + mask_rule
             + " -> b h t d, b h t",
-            n_repl=2 + int(has_mask),
+            n_repl=3 + int(has_mask),
         )
         bwd_op = _shard_batch_heads(
             _bwd_local,
             "b h t d, b h s d, b h s d, b s, b h t d, b h t, b h t,"
-            " n, n, n, n" + mask_rule
+            " n, n, n, n, n, n" + mask_rule
             + " -> b h t d, b h s d, b h s d",
-            n_repl=4 + int(has_mask),
+            n_repl=6 + int(has_mask),
         )
 
     def _consts():
         return (
-            tuple(jnp.asarray(a) for a in (q_of, kv_of, q_of2, kv_of2)),
+            tuple(
+                jnp.asarray(a)
+                for a in (q_of, kv_of, full_of, q_of2, kv_of2, full_of2)
+            ),
             tuple(_mask_ops()),
         )
 
@@ -846,8 +917,8 @@ def make_flash_attention(
             if key_padding_mask is None
             else key_padding_mask.astype(jnp.int8)
         )
-        (qo, ko, _, _), mask_op = _consts()
-        out, lse = fwd_op(q, k, v, pad, qo, ko, *mask_op)
+        (qo, ko, fo, _, _, _), mask_op = _consts()
+        out, lse = fwd_op(q, k, v, pad, qo, ko, fo, *mask_op)
         return out, (q, k, v, pad, out, lse)
 
     def _flash_bwd(res, g):
@@ -855,9 +926,10 @@ def make_flash_attention(
         delta = jnp.sum(
             g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
         )  # [B, H, T]
-        (qo, ko, qo2, ko2), mask_op = _consts()
+        (qo, ko, fo, qo2, ko2, fo2), mask_op = _consts()
         dq, dk, dv = bwd_op(
-            q, k, v, pad, g, lse, delta, qo, ko, qo2, ko2, *mask_op
+            q, k, v, pad, g, lse, delta,
+            qo, ko, fo, qo2, ko2, fo2, *mask_op,
         )
         return dq, dk, dv, None
 
@@ -948,6 +1020,9 @@ def flash_masked_attention(
         block_k = auto_k if block_k is None else block_k
     if bwd_impl is None:
         bwd_impl = os.environ.get("MCA_FLASH_BWD", "fused")
+    # select (default) | add | skip — see _apply_masks for the
+    # measured tradeoffs
+    mask_mode = os.environ.get("MCA_FLASH_MASK_MODE", "select")
     key = (
         attn_mask.tobytes(),
         attn_mask.shape,
@@ -956,6 +1031,7 @@ def flash_masked_attention(
         block_k,
         bwd_impl,
         interpret,
+        mask_mode,
     )
     if key not in _CACHE:
         _CACHE[key] = make_flash_attention(
@@ -965,5 +1041,6 @@ def flash_masked_attention(
             block_k=block_k,
             bwd_impl=bwd_impl,
             interpret=interpret,
+            mask_mode=mask_mode,
         )
     return _CACHE[key](q, k, v, key_padding_mask)

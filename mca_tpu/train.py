@@ -164,6 +164,42 @@ def init_state(
     }
 
 
+def narrow_for_staging(batch, stage_dtype: str):
+    """Host-side batch narrowing before H2D staging.
+
+    The streaming input pipeline is H2D-bandwidth-bound through the
+    remote TPU relay (PERF.md round 2: ~475 MB staged per 32-step CMU
+    launch at ~425 MB/s).  ``stage_dtype: fp16|bf16`` ships float
+    features in half the bytes (int64 index/mask columns also drop to
+    int32) and :func:`_upcast_staged` restores fp32 inside the step, so
+    everything downstream of the input quantisation is unchanged.
+    Default ``fp32`` is byte-exact with the reference's pipeline.
+    """
+    if stage_dtype in ("fp32", "", None):
+        return batch
+    nd = {"fp16": np.float16, "bf16": jnp.bfloat16}[stage_dtype]
+
+    def narrow(x):
+        x = np.asarray(x)
+        if x.dtype == np.float32:
+            return x.astype(nd)
+        if x.dtype == np.int64:
+            return x.astype(np.int32)
+        return x
+
+    return jax.tree.map(narrow, batch)
+
+
+def _upcast_staged(batch):
+    """Undo :func:`narrow_for_staging` on device (fuses into first use)."""
+    return jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if x.dtype in (jnp.float16, jnp.bfloat16)
+        else x,
+        batch,
+    )
+
+
 def _train_apply(model, params, batch, step, dropout_seed):
     """Train-mode forward: ``deterministic=False`` with a per-step
     dropout RNG, matching the reference's ``model.train()`` semantics
@@ -175,7 +211,10 @@ def _train_apply(model, params, batch, step, dropout_seed):
     reproducibility across restarts."""
     rng = jax.random.fold_in(jax.random.key(dropout_seed), step)
     return model.apply(
-        params, batch, deterministic=False, rngs={"dropout": rng}
+        params,
+        _upcast_staged(batch),
+        deterministic=False,
+        rngs={"dropout": rng},
     )
 
 
@@ -667,6 +706,11 @@ def train(config: Config) -> str:
             "entity": config.wandb_account_name or None,
             "config": config.to_plain(),
         }
+        if config.get("wandb_restart", ""):
+            # resume the crashed run's wandb id (ref
+            # train_accel_gpu.py:60-62: id=..., resume="must")
+            wandb_cfg["id"] = config.wandb_restart
+            wandb_cfg["resume"] = "must"
     log = JSONLLogger(config.output_dir, wandb_config=wandb_cfg)
     tokens_per_step = config.batch_size * int(
         sum(
@@ -801,11 +845,13 @@ def train(config: Config) -> str:
             )
 
     scan_mode = train_steps is not None
+    stage_dtype = config.get("stage_dtype", "fp32")
 
     def _prep_chunk(chunk):
-        """Producer-side chunk assembly: stacking happens in the
-        prefetch thread so the main thread only device_puts and
-        dispatches (host stack off the critical path)."""
+        """Producer-side chunk assembly: narrowing + stacking happen in
+        the prefetch thread so the main thread only device_puts and
+        dispatches (host work off the critical path)."""
+        chunk = [narrow_for_staging(b, stage_dtype) for b in chunk]
         if scan_mode:
             return stack_batches(chunk), len(chunk)
         return list(chunk), len(chunk)

@@ -138,3 +138,48 @@ def test_eao_forward_parity(reference_path, tmp_path, monkeypatch):
             atol=2e-4,
             err_msg=f"combo {sorted(combo)}",
         )
+
+
+def test_eao_channel_grouping_exact():
+    """group_channels=True (equal-length channels stacked on the batch
+    axis) must be bit-equivalent in fp32 to the sequential per-channel
+    passes; the canonical TCGA-EAO channel set actually groups."""
+    cfg = training_config_from_dict(
+        tiny_config(
+            "tcga",
+            # gene/methylation equal-width -> groupable channels
+            widths={"gene": 12, "protein": 8, "methylation": 12, "mirna": 6},
+            batch_size=4,
+            eao=True,
+            no_fusion=True,
+            mean_pool=True,
+            num_fusion_tokens=0,
+            fusion_combos=[2],
+            fcl_root=[0, 1],
+            fcl=True,
+            precision="fp32",
+            attention_impl="dense",
+        )
+    )
+    mc = get_model_config(cfg)
+    widths = {m: c["pad_len"] for m, c in cfg.modality_config.items()}
+    samples = make_tcga_like(4, widths=widths, p_missing=0.25, seed=0)
+    batch = MultimodalCollator(cfg.modality_config.to_plain())(samples)
+    batch = jax.tree.map(jnp.asarray, batch)
+
+    grouped = build_model(dict(mc, group_channels=True))
+    sequential = build_model(dict(mc, group_channels=False))
+    params = jax.jit(grouped.init)(jax.random.key(0), batch)
+    out_g = jax.jit(lambda p, b: grouped.apply(p, b))(params, batch)
+    out_s = jax.jit(lambda p, b: sequential.apply(p, b))(params, batch)
+    # not bit-identical: XLA fuses/orders reductions differently at
+    # the stacked batch size; per-sample math is unchanged
+    np.testing.assert_allclose(
+        np.asarray(out_g["loss"]), np.asarray(out_s["loss"]), rtol=1e-5
+    )
+    for k in out_g["losses"]:
+        np.testing.assert_allclose(
+            np.asarray(out_g["losses"][k]),
+            np.asarray(out_s["losses"][k]),
+            rtol=5e-5,
+        )

@@ -171,7 +171,7 @@ def test_tile_schedule_skips_blocked_tiles():
     from mca_tpu.ops.flash_attention import _tile_schedule
 
     ms = M.build_masks([64, 64, 64], 32, [3, 1])
-    q_of, kv_of, q2, kv2, nq, nk = _tile_schedule(
+    q_of, kv_of, full, q2, kv2, full2, nq, nk = _tile_schedule(
         ms.attn_mask, 64, 64
     )
     assert len(q_of) < nq * nk  # sparsity actually exploited
@@ -179,6 +179,12 @@ def test_tile_schedule_skips_blocked_tiles():
     assert sorted(zip(q_of.tolist(), kv_of.tolist())) == sorted(
         zip(q2.tolist(), kv2.tolist())
     )
+    # full flags match a direct per-tile check of the mask
+    mask = np.asarray(ms.attn_mask, bool)
+    for (qi, ki, fl) in zip(q_of, kv_of, full):
+        tile = mask[qi * 64 : (qi + 1) * 64, ki * 64 : (ki + 1) * 64]
+        assert bool(fl) == (not tile.any())
+    assert full.sum() == full2.sum() > 0
 
 
 def test_asymmetric_blocks_tq_ne_tk(rng):
@@ -209,3 +215,33 @@ def test_asymmetric_blocks_tq_ne_tk(rng):
         np.testing.assert_allclose(
             np.asarray(f), np.asarray(d), atol=2e-5
         )
+
+
+@pytest.mark.parametrize("mode", ["add", "select", "skip"])
+def test_mask_modes_match_dense(rng, mode, monkeypatch):
+    """All three mask-application variants (additive bf16 / boolean
+    select / per-tile cond skip) produce the same attention as the
+    dense oracle."""
+    monkeypatch.setenv("MCA_FLASH_MASK_MODE", mode)
+    ms = M.build_masks([64, 64, 64], 32, [3, 1])
+    mask = np.asarray(ms.attn_mask, bool)
+    t = mask.shape[0]
+    q = jnp.asarray(rng.normal(size=(2, 2, t, 32)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 2, t, 32)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 2, t, 32)).astype(np.float32))
+    pad = np.zeros((2, t), bool)
+    pad[0, 50:64] = True
+    out = flash_masked_attention(
+        q, k, v, scale=SCALE, attn_mask=mask,
+        key_padding_mask=jnp.asarray(pad),
+        block_q=64, block_k=64, interpret=True,
+    )
+    ref = dense_masked_attention(
+        q, k, v, scale=SCALE, attn_mask=jnp.asarray(mask),
+        key_padding_mask=jnp.asarray(pad),
+    )
+    live = ~pad[:, None, :, None]
+    np.testing.assert_allclose(
+        np.asarray(out) * live, np.asarray(ref) * live,
+        rtol=2e-3, atol=2e-3,
+    )
