@@ -243,6 +243,8 @@ def main() -> None:
                 f"{base['tokens_per_sec']:.0f} tok/s on "
                 f"{base.get('hardware', 'unknown')}"
             )
+            if base.get("compiled_step_time_s") is not None:
+                baseline_note += " (best of eager / torch.compile)"
 
     print(
         json.dumps(

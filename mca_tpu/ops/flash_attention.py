@@ -942,16 +942,16 @@ def make_flash_attention(
 # tile schedule on every jit trace.
 _CACHE = {}
 
-#: candidate block shapes for the per-mask auto-tuner (all lane-legal:
-#: bk multiple of 128, bq of 8; areas bounded by the VMEM budget the
-#: 512x1024 default was validated at).  bq=640 / bk=768 were measured
-#: and only ever regressed (PERF.md round-2 sweep tables), so they are
-#: excluded to keep the one-parameter cost model's picks at each
-#: mask's measured optimum (TCGA -> 384x896, CMU -> 512x1280).
+#: candidate block shapes for the per-mask auto-tuner — UNPRUNED grid
+#: (all lane-legal: bk multiple of 128, bq of 8; tile areas bounded by
+#: the VMEM budget the 512x1024 shape was validated at).  No shape is
+#: hand-excluded: the model ranks everything, and the ranking is
+#: validated against full-step measurements for the canonical mask
+#: families (PERF.md round-3 sweep tables).
 _BLOCK_CANDIDATES = [
     (bq, bk)
-    for bq in (256, 320, 384, 448, 512)
-    for bk in (512, 896, 1024, 1280)
+    for bq in (256, 320, 384, 448, 512, 640)
+    for bk in (512, 768, 896, 1024, 1280)
     if bq * bk <= 640 * 1024
 ]
 
@@ -960,25 +960,142 @@ _BLOCK_CANDIDATES = [
 #: area they drag in outweighs the per-tile overhead
 _TILE_OVERHEAD_ENTRIES = 150_000
 
+#: measured-optimal blocks for canonical mask families, keyed by
+#: (mask shape, crc32(mask bytes)) — full-train-step measurements on
+#: v5e (PERF.md round-3 validation sweep).  Measurement outranks the
+#: cost model wherever an entry exists: for the CMU mask the model's
+#: top pick (640x768) measured 3.2% below 512x1280 (367.0k vs 379.4k
+#: tok/s), so trusting the model alone would regress the family.
+#: TCGA/zorro entries agree with the model's pick; they are recorded
+#: anyway so the canonical families never depend on the fitted
+#: constant.  Novel masks fall through to the model ranking (or to
+#: MCA_FLASH_TUNE=measure, which measures-at-first-use and
+#: disk-caches).
+_MEASURED_BLOCKS = {
+    ((2548, 2548), 0x780E75F6): (384, 896),  # TCGA_config1 MCA
+    ((2548, 2548), 0x8D7D1974): (384, 896),  # TCGA_config1 zorro
+    ((2538, 2538), 0x4E75D927): (512, 1280),  # CMU_config1
+}
+
 _AUTO_CACHE = {}
 
 
+def _model_ranked(attn_mask: np.ndarray):
+    """Candidate shapes ranked by ``visited_entries + C * n_tiles``."""
+    rows = []
+    for bq, bk in _BLOCK_CANDIDATES:
+        q_of, *_ = _tile_schedule(attn_mask, bq, bk)
+        n = len(q_of)
+        rows.append((n * bq * bk + _TILE_OVERHEAD_ENTRIES * n, bq, bk))
+    rows.sort()
+    return [(bq, bk) for _, bq, bk in rows]
+
+
+def _tune_cache_path() -> str:
+    import os
+
+    return os.environ.get(
+        "MCA_FLASH_TUNE_CACHE",
+        os.path.expanduser("~/.cache/mca_tpu/blocktune.json"),
+    )
+
+
+def _measure_blocks(
+    attn_mask: np.ndarray, scale: float, qshape, dtype, bwd_impl: str
+) -> Tuple[int, int]:
+    """Measure-at-first-use tuner (``MCA_FLASH_TUNE=measure``).
+
+    Times fwd+bwd of the kernel itself for the cost model's top
+    candidates on synthetic tensors of the call's real shape, and
+    caches the winner on disk keyed by (mask crc, shape, batch-heads,
+    head dim, dtype, device kind) — the masks are static and few, so
+    the sweep (a few compiles) runs once per novel mask per machine.
+    Timing uses input-perturbed chained launches (identical-argument
+    launches can return cached results on remote-attached TPUs,
+    PERF.md).
+    """
+    import json
+    import os
+    import time
+    import zlib
+
+    b, h, t, d = qshape
+    key = (
+        f"{attn_mask.shape[0]}x{attn_mask.shape[1]}:"
+        f"{zlib.crc32(attn_mask.tobytes()):08x}:bh{b * h}:d{d}:"
+        f"{np.dtype(dtype).name}:{bwd_impl}:"
+        f"{jax.devices()[0].device_kind}"
+    )
+    path = _tune_cache_path()
+    cache = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                cache = json.load(f)
+        except Exception:
+            cache = {}
+    if key in cache:
+        return tuple(cache[key][:2])
+
+    rng = np.random.default_rng(0)
+    mk = lambda: jnp.asarray(
+        rng.normal(size=(b, h, t, d)).astype(np.float32), dtype
+    )
+    q0, k0, v0 = mk(), mk(), mk()
+    best = None
+    # top-6 cut: wide enough that every measured family optimum sits
+    # inside it (CMU's true best is the model's rank 4, PERF.md)
+    for bq, bk in _model_ranked(attn_mask)[:6]:
+        fn = make_flash_attention(
+            attn_mask,
+            scale=scale,
+            block_q=bq,
+            block_k=bk,
+            bwd_impl=bwd_impl,
+        )
+
+        def obj(q, k, v):
+            return (fn(q, k, v, None).astype(jnp.float32) ** 2).sum()
+
+        g = jax.jit(jax.grad(obj, argnums=(0, 1, 2)))
+        dq, dk, dv = g(q0, k0, v0)  # compile + warm
+        jax.block_until_ready(dq)
+        t0 = time.perf_counter()
+        for _ in range(4):  # chain through the inputs: no result reuse
+            dq, dk, dv = g(
+                q0 + dq.astype(dtype) * jnp.asarray(1e-6, dtype),
+                k0,
+                v0,
+            )
+        jax.block_until_ready(dq)
+        ms = (time.perf_counter() - t0) / 4 * 1000
+        if best is None or ms < best[2]:
+            best = (bq, bk, ms)
+    cache[key] = list(best)
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(cache, f, indent=1)
+    except OSError:
+        pass  # unwritable cache dir: re-measure next process
+    return best[0], best[1]
+
+
 def _auto_blocks(attn_mask: np.ndarray) -> Tuple[int, int]:
-    """Pick (block_q, block_k) for a mask by minimising
+    """Pick (block_q, block_k) for a mask: measured-optimal table for
+    the canonical families (:data:`_MEASURED_BLOCKS`), else minimise
     ``visited_entries + _TILE_OVERHEAD_ENTRIES * n_tiles`` over the
-    candidate grid.  Ranks the measured TCGA and CMU sweeps correctly
-    (PERF.md round-2 block tables); exact only up to the fitted
-    constant, so env/explicit overrides always win."""
+    unpruned candidate grid.  Env/explicit overrides and the
+    measure-at-first-use mode (:func:`_measure_blocks`) always win.
+    """
+    import zlib
+
     key = (attn_mask.tobytes(), attn_mask.shape)
     if key not in _AUTO_CACHE:
-        best, best_cost = None, None
-        for bq, bk in _BLOCK_CANDIDATES:
-            q_of, *_ = _tile_schedule(attn_mask, bq, bk)
-            n = len(q_of)
-            cost = n * bq * bk + _TILE_OVERHEAD_ENTRIES * n
-            if best_cost is None or cost < best_cost:
-                best, best_cost = (bq, bk), cost
-        _AUTO_CACHE[key] = best
+        measured = _MEASURED_BLOCKS.get(
+            (attn_mask.shape, zlib.crc32(attn_mask.tobytes()))
+        )
+        _AUTO_CACHE[key] = measured or _model_ranked(attn_mask)[0]
     return _AUTO_CACHE[key]
 
 
@@ -1014,12 +1131,23 @@ def flash_masked_attention(
         block_q = int(os.environ["MCA_FLASH_BLOCK_Q"])
     if block_k is None and "MCA_FLASH_BLOCK_K" in os.environ:
         block_k = int(os.environ["MCA_FLASH_BLOCK_K"])
-    if block_q is None or block_k is None:
-        auto_q, auto_k = _auto_blocks(attn_mask)
-        block_q = auto_q if block_q is None else block_q
-        block_k = auto_k if block_k is None else block_k
     if bwd_impl is None:
         bwd_impl = os.environ.get("MCA_FLASH_BWD", "fused")
+    if block_q is None or block_k is None:
+        if (
+            os.environ.get("MCA_FLASH_TUNE") == "measure"
+            and not interpret
+            and jax.default_backend() == "tpu"
+        ):
+            # measure-at-first-use: on-device micro-sweep of the cost
+            # model's top candidates, disk-cached per mask/shape
+            auto_q, auto_k = _measure_blocks(
+                attn_mask, scale, q.shape, q.dtype, bwd_impl
+            )
+        else:
+            auto_q, auto_k = _auto_blocks(attn_mask)
+        block_q = auto_q if block_q is None else block_q
+        block_k = auto_k if block_k is None else block_k
     # select (default) | add | skip — see _apply_masks for the
     # measured tradeoffs
     mask_mode = os.environ.get("MCA_FLASH_MASK_MODE", "select")

@@ -245,3 +245,45 @@ def test_mask_modes_match_dense(rng, mode, monkeypatch):
         np.asarray(out) * live, np.asarray(ref) * live,
         rtol=2e-3, atol=2e-3,
     )
+
+
+def test_auto_blocks_unpruned_grid():
+    """The tuner's candidate grid carries no hand exclusions and the
+    model ranks every lane-legal shape; canonical-family picks come
+    from the measured-optima table (PERF.md round-3 sweep), so the
+    fitted cost constant can't regress them."""
+    import zlib
+
+    from mca_tpu.ops.flash_attention import (
+        _BLOCK_CANDIDATES,
+        _MEASURED_BLOCKS,
+        _auto_blocks,
+        _model_ranked,
+    )
+
+    assert (640, 768) in _BLOCK_CANDIDATES  # previously hand-excluded
+    ms = M.build_masks(
+        [800, 198, 800, 662], 88, [4, 3, 2], fcl=True
+    )
+    mask = np.asarray(ms.attn_mask, bool)
+    # the canonical TCGA mask hits its measured-table entry
+    key = (mask.shape, zlib.crc32(mask.tobytes()))
+    assert key in _MEASURED_BLOCKS
+    assert _auto_blocks(mask) == (384, 896)  # measured-optimal
+    ranked = _model_ranked(mask)
+    assert len(ranked) == len(_BLOCK_CANDIDATES)
+    # CMU canonical mask: measured optimum 512x1280 outranks the cost
+    # model's 640x768 (which measured 3.2% slower, PERF.md round 3)
+    cmu = M.build_masks(
+        [1500, 450, 450, 50], 88, [4, 3, 2], fcl=True
+    )
+    cmask = np.asarray(cmu.attn_mask, bool)
+    ckey = (cmask.shape, zlib.crc32(cmask.tobytes()))
+    assert ckey in _MEASURED_BLOCKS
+    assert _auto_blocks(cmask) == (512, 1280)
+    assert _model_ranked(cmask)[0] == (640, 768)  # model alone differs
+    # a novel (non-canonical) mask falls through to the model ranking
+    novel = M.build_masks([256, 256, 256], 32, [3, 2], fcl=True)
+    nmask = np.asarray(novel.attn_mask, bool)
+    assert (nmask.shape, zlib.crc32(nmask.tobytes())) not in _MEASURED_BLOCKS
+    assert _auto_blocks(nmask) == _model_ranked(nmask)[0]
