@@ -54,18 +54,22 @@ def main() -> None:
         overrides.update(
             eao=True, no_fusion=True, mean_pool=True,
             num_fusion_tokens=0, fusion_combos=[2], fcl_root=[0, 1],
-            remat=True,
-            # BENCH_EAO_GROUP=0 measures the sequential per-channel
-            # passes (the reference's structure) for A/B comparison
+            # remat measured 34% slower where the 10 noremat passes
+            # still fit (batch 8: 207.6 vs 154.7 ms/step, PERF.md r3);
+            # the auto heuristic below handles large batches, and an
+            # explicit BENCH_REMAT always wins
+            # BENCH_EAO_GROUP=1 measures the batched equal-length
+            # channel passes (measured negative, PERF.md r3) for A/B
             eao_group_channels=(
-                os.environ.get("BENCH_EAO_GROUP", "1") == "1"
+                os.environ.get("BENCH_EAO_GROUP", "0") == "1"
             ),
         )
     # activations at batch 128 exceed HBM without rematerialisation
     # (measured: 30.8G vs 15.75G); batch 64 still fits and runs 28%
-    # faster without remat (320k vs 250k tok/s) — see PERF.md.
-    # setdefault: the EAO variant above pins remat=True and an explicit
-    # BENCH_REMAT always wins, the auto heuristic only fills the gap
+    # faster without remat (320k vs 250k tok/s) — see PERF.md.  The
+    # 128 threshold is MCA-calibrated; EAO's ~4x activations may need
+    # BENCH_REMAT=1 at mid-size batches.  An explicit BENCH_REMAT
+    # always wins; the auto heuristic only fills the gap
     if os.environ.get("BENCH_REMAT", "auto") != "auto":
         overrides["remat"] = os.environ["BENCH_REMAT"] == "1"
     else:

@@ -281,8 +281,10 @@ def get_model_config(config: Config) -> Dict[str, Any]:
         "precision": config.get("precision", "bf16"),
         "attention_impl": config.get("attention_impl", "auto"),
         "remat": config.get("remat", False),
-        # EAO-only (build_model filters by dataclass fields)
-        "group_channels": config.get("eao_group_channels", True),
+        # EAO-only (build_model filters by dataclass fields); grouping
+        # measured slower at canonical scale (PERF.md round 3), so the
+        # default is the reference's sequential pass structure
+        "group_channels": config.get("eao_group_channels", False),
     }
 
 

@@ -50,10 +50,14 @@ class EAO(nn.Module):
     remat: bool = False
     loss_axis_name: Optional[str] = None
     #: batch equal-packed-length channels into one transformer pass
-    #: (stacked on the batch axis) — identical per-sample math, fewer
-    #: launches and better MXU utilisation at small batch; the
-    #: canonical TCGA-EAO's 10 channels collapse to 7 passes
-    group_channels: bool = True
+    #: (stacked on the batch axis) — identical per-sample math, the
+    #: canonical TCGA-EAO's 10 channels collapse to 7 passes.  Measured
+    #: NEGATIVE at canonical scale (220.3 vs 207.6 ms/step sequential,
+    #: PERF.md round 3): inside one jitted step there are no launches
+    #: to save, batch 8 x 8 heads already fills the MXU, and the
+    #: batch-axis concat/slice copies cost real HBM traffic.  Kept as
+    #: an opt-in A/B knob (`eao_group_channels: true`).
+    group_channels: bool = False
 
     def setup(self) -> None:
         assert self.mean_pool, (

@@ -980,10 +980,46 @@ _MEASURED_BLOCKS = {
 _AUTO_CACHE = {}
 
 
+def _fitted_candidates(t: int):
+    """Shape-fitted candidate blocks for sequence length ``t``.
+
+    The fixed grid pads badly at lengths it wasn't chosen for — e.g.
+    an unmasked EAO pass at T=1600 visits 2048x2560 padded entries with
+    the generic 512x1280 pick, while the fitted (320, 1664) covers
+    1600x1664 (4% waste, one kv tile).  For each feasible tile count
+    per axis, emit the smallest lane-legal block that still covers T
+    (bq multiple of 8, bk of 128, area within the validated VMEM
+    budget); the cost model ranks them against the generic grid, so a
+    fitted shape only wins when it actually reduces
+    visited-area + tile-count cost.
+    """
+    import math
+
+    cands = set()
+    bqs = [8 * math.ceil(t / (8 * n)) for n in range(1, t // 224 + 2)]
+    bks = [128 * math.ceil(t / (128 * n)) for n in range(1, t // 448 + 2)]
+    for bq in bqs:
+        if not 64 <= bq <= 768:
+            continue
+        for bk in bks:
+            if 128 <= bk and bq * bk <= 640 * 1024:
+                cands.add((bq, bk))
+    return cands
+
+
 def _model_ranked(attn_mask: np.ndarray):
-    """Candidate shapes ranked by ``visited_entries + C * n_tiles``."""
+    """Candidate shapes ranked by ``visited_entries + C * n_tiles``
+    over the generic grid plus the length-fitted shapes
+    (``MCA_FLASH_FITTED=0`` disables the fitted shapes — A/B knob for
+    the sweeps; canonical families resolve through the measured table
+    first either way)."""
+    import os
+
+    cands = set(_BLOCK_CANDIDATES)
+    if os.environ.get("MCA_FLASH_FITTED", "1") == "1":
+        cands |= _fitted_candidates(attn_mask.shape[0])
     rows = []
-    for bq, bk in _BLOCK_CANDIDATES:
+    for bq, bk in sorted(cands):
         q_of, *_ = _tile_schedule(attn_mask, bq, bk)
         n = len(q_of)
         rows.append((n * bq * bk + _TILE_OVERHEAD_ENTRIES * n, bq, bk))
@@ -1043,9 +1079,17 @@ def _measure_blocks(
     )
     q0, k0, v0 = mk(), mk(), mk()
     best = None
-    # top-6 cut: wide enough that every measured family optimum sits
-    # inside it (CMU's true best is the model's rank 4, PERF.md)
-    for bq, bk in _model_ranked(attn_mask)[:6]:
+    # top-8 of the model ranking, plus the measured-table entry for
+    # this mask if one exists (so the sweep can never rank below a
+    # known full-step optimum — CMU's true best was the pre-fitted
+    # model's rank 4, PERF.md)
+    sweep = _model_ranked(attn_mask)[:8]
+    table = _MEASURED_BLOCKS.get(
+        (attn_mask.shape, zlib.crc32(attn_mask.tobytes()))
+    )
+    if table and table not in sweep:
+        sweep.append(table)
+    for bq, bk in sweep:
         fn = make_flash_attention(
             attn_mask,
             scale=scale,

@@ -271,9 +271,12 @@ def test_auto_blocks_unpruned_grid():
     assert key in _MEASURED_BLOCKS
     assert _auto_blocks(mask) == (384, 896)  # measured-optimal
     ranked = _model_ranked(mask)
-    assert len(ranked) == len(_BLOCK_CANDIDATES)
-    # CMU canonical mask: measured optimum 512x1280 outranks the cost
-    # model's 640x768 (which measured 3.2% slower, PERF.md round 3)
+    # generic grid + length-fitted shapes, ranked together
+    assert len(ranked) >= len(_BLOCK_CANDIDATES)
+    assert set(_BLOCK_CANDIDATES) <= set(ranked)
+    # CMU canonical mask: the measured-optima table wins regardless of
+    # what the cost model would rank first (the pre-fitted model's top
+    # pick 640x768 measured 3.2% slower than 512x1280, PERF.md round 3)
     cmu = M.build_masks(
         [1500, 450, 450, 50], 88, [4, 3, 2], fcl=True
     )
@@ -281,9 +284,66 @@ def test_auto_blocks_unpruned_grid():
     ckey = (cmask.shape, zlib.crc32(cmask.tobytes()))
     assert ckey in _MEASURED_BLOCKS
     assert _auto_blocks(cmask) == (512, 1280)
-    assert _model_ranked(cmask)[0] == (640, 768)  # model alone differs
     # a novel (non-canonical) mask falls through to the model ranking
     novel = M.build_masks([256, 256, 256], 32, [3, 2], fcl=True)
     nmask = np.asarray(novel.attn_mask, bool)
     assert (nmask.shape, zlib.crc32(nmask.tobytes())) not in _MEASURED_BLOCKS
     assert _auto_blocks(nmask) == _model_ranked(nmask)[0]
+
+
+def test_fitted_candidates_unmasked_lengths():
+    """Length-fitted block shapes beat the generic grid on unmasked
+    (EAO-style) passes: the top-ranked shape's padded coverage should
+    waste little area at lengths the fixed grid pads badly."""
+    from mca_tpu.ops.flash_attention import (
+        _fitted_candidates,
+        _model_ranked,
+        _pad_to,
+    )
+
+    for t in (1600, 1462, 998):
+        fits = _fitted_candidates(t)
+        assert fits, t
+        for bq, bk in fits:
+            assert bq % 8 == 0 and bk % 128 == 0
+            assert bq * bk <= 640 * 1024
+        bq, bk = _model_ranked(np.zeros((t, t), bool))[0]
+        waste = (_pad_to(t, bq) * _pad_to(t, bk)) / (t * t) - 1.0
+        # generic picks pad T=1600 by up to 64% of visited area; the
+        # fitted winners stay under 12%
+        assert waste < 0.12, (t, bq, bk, waste)
+
+
+def test_fitted_block_shape_kernel_correct(rng):
+    """Kernel values + grads stay exact at a fitted odd block shape
+    (bq not a multiple of 64, single wide kv tile)."""
+    t = 412  # fitted: bq=208 covers in 2 tiles (416), bk=512 in 1
+    q, k, v = _rand_qkv(rng, 1, 2, t, 64)
+    _compare(q, k, v, None, None, block=None)  # block ignored below
+
+    pad = np.zeros((1, t), bool)
+    pad[0, 380:] = True
+    pad_j = jnp.asarray(pad)
+    w = jnp.asarray(rng.normal(size=(1, 2, t, 64)).astype(np.float32))
+    live = jnp.asarray(~pad[:, :])  # no static mask: live = unpadded
+
+    def obj_dense(q, k, v):
+        o = dense_masked_attention(
+            q, k, v, scale=SCALE, key_padding_mask=pad_j
+        )
+        return (o * w * live[:, None, :, None]).sum()
+
+    def obj_flash(q, k, v):
+        o = flash_masked_attention(
+            q, k, v, scale=SCALE, key_padding_mask=pad_j,
+            block_q=208, block_k=512, interpret=True,
+        )
+        return (o * w * live[:, None, :, None]).sum()
+
+    gd = jax.grad(obj_dense, argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(obj_flash, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", gd, gf):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4,
+            err_msg=f"d{name} mismatch",
+        )
