@@ -972,8 +972,11 @@ _TILE_OVERHEAD_ENTRIES = 150_000
 #: MCA_FLASH_TUNE=measure, which measures-at-first-use and
 #: disk-caches).
 _MEASURED_BLOCKS = {
-    ((2548, 2548), 0x780E75F6): (384, 896),  # TCGA_config1 MCA
-    ((2548, 2548), 0x8D7D1974): (384, 896),  # TCGA_config1 zorro
+    # round-3 re-sweep with fitted candidates: the length-fitted
+    # 368x896 (model rank 1) measured 397.0k tok/s vs 393.0k at the
+    # round-2 optimum 384x896
+    ((2548, 2548), 0x780E75F6): (368, 896),  # TCGA_config1 MCA
+    ((2548, 2548), 0x8D7D1974): (368, 896),  # TCGA_config1 zorro
     ((2538, 2538), 0x4E75D927): (512, 1280),  # CMU_config1
 }
 

@@ -269,7 +269,7 @@ def test_auto_blocks_unpruned_grid():
     # the canonical TCGA mask hits its measured-table entry
     key = (mask.shape, zlib.crc32(mask.tobytes()))
     assert key in _MEASURED_BLOCKS
-    assert _auto_blocks(mask) == (384, 896)  # measured-optimal
+    assert _auto_blocks(mask) == (368, 896)  # measured-optimal (r3)
     ranked = _model_ranked(mask)
     # generic grid + length-fitted shapes, ranked together
     assert len(ranked) >= len(_BLOCK_CANDIDATES)
