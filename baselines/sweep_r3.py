@@ -14,7 +14,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "baselines", "sweep_r3_results.jsonl")
 
 
-def run(tag, env_over):
+def run(tag, env_over, out=OUT):
     env = dict(os.environ); env.update({k: str(v) for k, v in env_over.items()})
     t0 = time.time()
     p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
@@ -25,7 +25,7 @@ def run(tag, env_over):
     rec = {"tag": tag, "env": env_over, "wall_s": round(time.time()-t0, 1)}
     if line: rec.update(json.loads(line))
     else: rec["error"] = (p.stderr or "")[-1500:]
-    with open(OUT, "a") as f: f.write(json.dumps(rec) + "\n")
+    with open(out, "a") as f: f.write(json.dumps(rec) + "\n")
     print(tag, "->", rec.get("value"), rec.get("step_time_ms"), flush=True)
 
 

@@ -166,23 +166,19 @@ class MCA(nn.Module):
             sample_mask[m] = (a == 0).sum(axis=1) != 0
         return tokens, pad_masks, sample_mask
 
-    def attention_maps(
+    def _pack_sequence(
         self,
         batch: Dict[str, Dict[str, Array]],
         deterministic: bool = True,
-    ) -> Dict[str, Array]:
-        """Post-softmax attention probabilities for introspection.
-
-        The TPU-native counterpart of the reference's
-        ``Attention(return_attn=True)`` hook (ref model.py:79,
-        102-105): returns ``{"layers": [depth, B, H, T, T]}`` plus
-        ``"pool": [B, H, R, T]`` for attentive pooling.  Always uses
-        the dense attention path (the flash kernel never materialises
-        probabilities).  Use via
-        ``model.apply(params, batch, method="attention_maps")`` or
-        :mod:`mca_tpu.tools.attention_maps`.
+    ):
+        """Encode + pack into ONE ``[B, T, D]`` sequence: append the
+        broadcast learnable fusion tokens (never padded) and
+        concatenate along T (ref model.py:459-466's einops ``pack``),
+        cast to the compute precision.  Shared by ``__call__`` and
+        ``attention_maps`` so introspection can never diverge from the
+        trained forward pass.  Returns ``(x, padding, sample_mask)``.
         """
-        tokens, pad_masks, _ = self.encode_modalities(
+        tokens, pad_masks, sample_mask = self.encode_modalities(
             batch, deterministic
         )
         bsz = tokens[0].shape[0]
@@ -199,8 +195,28 @@ class MCA(nn.Module):
             )
         x = jnp.concatenate(tokens, axis=1)
         padding = jnp.concatenate(pad_masks, axis=1)
-        attn_mask = self.mask_set.attn_mask
         x = x.astype(_dtype_of(self.precision))
+        return x, padding, sample_mask
+
+    def attention_maps(
+        self,
+        batch: Dict[str, Dict[str, Array]],
+        deterministic: bool = True,
+    ) -> Dict[str, Array]:
+        """Post-softmax attention probabilities for introspection.
+
+        The TPU-native counterpart of the reference's
+        ``Attention(return_attn=True)`` hook (ref model.py:79,
+        102-105): returns ``{"layers": [depth, B, H, T, T]}`` plus
+        ``"pool": [B, H, R, T]`` for attentive pooling.  Always uses
+        the dense attention path (the flash kernel never materialises
+        probabilities).  Use via
+        ``model.apply(params, batch, method="attention_maps")`` or
+        :mod:`mca_tpu.tools.attention_maps`.
+        """
+        x, padding, _ = self._pack_sequence(batch, deterministic)
+        bsz = x.shape[0]
+        attn_mask = self.mask_set.attn_mask
         maps = []
         for layer in self.layers:
             x, attn = layer(x, attn_mask, padding, return_attn=True)
@@ -228,32 +244,16 @@ class MCA(nn.Module):
         no_loss: bool = False,
         deterministic: bool = True,
     ) -> Dict[str, Any]:
-        tokens, pad_masks, sample_mask = self.encode_modalities(
+        x, padding, sample_mask = self._pack_sequence(
             batch, deterministic
         )
-        bsz = tokens[0].shape[0]
-        if not self.no_fusion:
-            fusion = jnp.broadcast_to(
-                self.fusion_tokens[None],
-                (bsz,) + self.fusion_tokens.shape,
-            )
-            tokens.append(fusion.astype(tokens[0].dtype))
-            pad_masks.append(
-                jnp.zeros(
-                    (bsz, self.mask_set.num_fusion_tokens), dtype=bool
-                )
-            )
-        x = jnp.concatenate(tokens, axis=1)
-        padding = jnp.concatenate(pad_masks, axis=1)
+        bsz = x.shape[0]
 
         # keep the mask as STATIC numpy: the Pallas path derives its
         # block-sparse tile schedule from it at trace time; the dense
-        # path converts it to a jit constant internally
+        # path converts it to a jit constant internally.  It rides in a
+        # closure so rematerialisation never traces it.
         attn_mask = self.mask_set.attn_mask
-        dtype = _dtype_of(self.precision)
-        x = x.astype(dtype)
-        # the static mask rides in a closure so rematerialisation never
-        # traces it (the Pallas schedule needs it as numpy)
         def apply_layer(layer, x, padding):
             return layer(x, attn_mask, padding)
 

@@ -1040,18 +1040,25 @@ def _tune_cache_path() -> str:
 
 
 def _measure_blocks(
-    attn_mask: np.ndarray, scale: float, qshape, dtype, bwd_impl: str
+    attn_mask: np.ndarray,
+    scale: float,
+    qshape,
+    dtype,
+    bwd_impl: str,
+    mask_mode: str = "select",
 ) -> Tuple[int, int]:
     """Measure-at-first-use tuner (``MCA_FLASH_TUNE=measure``).
 
     Times fwd+bwd of the kernel itself for the cost model's top
     candidates on synthetic tensors of the call's real shape, and
     caches the winner on disk keyed by (mask crc, shape, batch-heads,
-    head dim, dtype, device kind) — the masks are static and few, so
-    the sweep (a few compiles) runs once per novel mask per machine.
-    Timing uses input-perturbed chained launches (identical-argument
-    launches can return cached results on remote-attached TPUs,
-    PERF.md).
+    head dim, dtype, mask mode, device kind) — the masks are static and
+    few, so the sweep (a few compiles) runs once per novel mask per
+    machine.  The swept kernels are built with the SAME ``mask_mode``
+    that will run (the modes differ in mask DMA bytes, so their optima
+    can differ).  Timing uses input-perturbed chained launches
+    (identical-argument launches can return cached results on
+    remote-attached TPUs, PERF.md).
     """
     import json
     import os
@@ -1062,7 +1069,7 @@ def _measure_blocks(
     key = (
         f"{attn_mask.shape[0]}x{attn_mask.shape[1]}:"
         f"{zlib.crc32(attn_mask.tobytes()):08x}:bh{b * h}:d{d}:"
-        f"{np.dtype(dtype).name}:{bwd_impl}:"
+        f"{np.dtype(dtype).name}:{bwd_impl}:{mask_mode}:"
         f"{jax.devices()[0].device_kind}"
     )
     path = _tune_cache_path()
@@ -1099,6 +1106,7 @@ def _measure_blocks(
             block_q=bq,
             block_k=bk,
             bwd_impl=bwd_impl,
+            mask_mode=mask_mode,
         )
 
         def obj(q, k, v):
@@ -1180,6 +1188,9 @@ def flash_masked_attention(
         block_k = int(os.environ["MCA_FLASH_BLOCK_K"])
     if bwd_impl is None:
         bwd_impl = os.environ.get("MCA_FLASH_BWD", "fused")
+    # select (default) | add | skip — see _apply_masks for the
+    # measured tradeoffs
+    mask_mode = os.environ.get("MCA_FLASH_MASK_MODE", "select")
     if block_q is None or block_k is None:
         if (
             os.environ.get("MCA_FLASH_TUNE") == "measure"
@@ -1189,15 +1200,12 @@ def flash_masked_attention(
             # measure-at-first-use: on-device micro-sweep of the cost
             # model's top candidates, disk-cached per mask/shape
             auto_q, auto_k = _measure_blocks(
-                attn_mask, scale, q.shape, q.dtype, bwd_impl
+                attn_mask, scale, q.shape, q.dtype, bwd_impl, mask_mode
             )
         else:
             auto_q, auto_k = _auto_blocks(attn_mask)
         block_q = auto_q if block_q is None else block_q
         block_k = auto_k if block_k is None else block_k
-    # select (default) | add | skip — see _apply_masks for the
-    # measured tradeoffs
-    mask_mode = os.environ.get("MCA_FLASH_MASK_MODE", "select")
     key = (
         attn_mask.tobytes(),
         attn_mask.shape,

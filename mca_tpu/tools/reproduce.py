@@ -107,7 +107,7 @@ def reproduce(pipeline: Dict[str, Any]) -> Dict[str, Any]:
         summary["dataset"] = dataset
 
     # 2. pretrain
-    tspec = pipeline.get("train", {})
+    tspec = pipeline.get("train") or {}  # bare `train:` == all defaults
     if isinstance(tspec, str):
         cfg = training_config(tspec)
     else:
@@ -117,7 +117,9 @@ def reproduce(pipeline: Dict[str, Any]) -> Dict[str, Any]:
 
             cfg.output_dir = _auto_output_dir()
         dump_configs(cfg, cfg.output_dir)
-    if dataset and not tspec_get(tspec, "dataset"):
+    # preprocess.out is a DEFAULT for `dataset:`, never an override —
+    # a train config (inline or file) that names its own dataset wins
+    if dataset and not cfg.dataset:
         cfg.dataset = dataset
     train_out = train(cfg)
     summary["train_output"] = train_out
@@ -135,7 +137,7 @@ def reproduce(pipeline: Dict[str, Any]) -> Dict[str, Any]:
 
     # 4. probe
     ecfg = get_cfg_defaults_embedding_eval()
-    ecfg.merge(dict(pipeline.get("probe", {})))
+    ecfg.merge(dict(pipeline.get("probe") or {}))
     ecfg.embedding_dir = icfg.output_dir
     if not ecfg.output_dir:
         ecfg.output_dir = os.path.join(train_out, "probe")
@@ -147,12 +149,6 @@ def reproduce(pipeline: Dict[str, Any]) -> Dict[str, Any]:
         if isinstance(v, (int, float)) or hasattr(v, "item")
     }
     return summary
-
-
-def tspec_get(tspec, key):
-    if isinstance(tspec, str):
-        return None
-    return tspec.get(key)
 
 
 def main(argv=None) -> None:

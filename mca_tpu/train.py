@@ -164,6 +164,12 @@ def init_state(
     }
 
 
+# The reference's universal pad/missing marker (ref encoders.py:288,
+# 346).  Collators accept a configurable pad_token, but every shipped
+# config uses -10000; staging narrowing must never round it away.
+_PAD_SENTINELS = (-10000.0,)
+
+
 def narrow_for_staging(batch, stage_dtype: str):
     """Host-side batch narrowing before H2D staging.
 
@@ -174,14 +180,31 @@ def narrow_for_staging(batch, stage_dtype: str):
     int32) and :func:`_upcast_staged` restores fp32 inside the step, so
     everything downstream of the input quantisation is unchanged.
     Default ``fp32`` is byte-exact with the reference's pipeline.
+
+    Arrays carrying the reference's ``-10000`` pad/missing sentinel
+    (ref encoders.py:288, 346 — MatrixCollator rows and TCGA sequence
+    pads; PatchEncoder re-detects the sentinel ON DEVICE,
+    ref encoders.py:273) are left fp32 when the narrow dtype cannot
+    represent the sentinel exactly: bf16 rounds ``-10000 -> -9984``,
+    which would silently defeat the equality test and attend to padded
+    garbage.  fp16 represents ``-10000`` exactly, so it narrows all
+    float features.
     """
     if stage_dtype in ("fp32", "", None):
         return batch
     nd = {"fp16": np.float16, "bf16": jnp.bfloat16}[stage_dtype]
+    unsafe_markers = [
+        m
+        for m in _PAD_SENTINELS
+        if np.asarray(m, nd).astype(np.float32) != np.float32(m)
+    ]
 
     def narrow(x):
         x = np.asarray(x)
         if x.dtype == np.float32:
+            for m in unsafe_markers:
+                if (x == m).any():
+                    return x  # narrowing would corrupt the pad sentinel
             return x.astype(nd)
         if x.dtype == np.int64:
             return x.astype(np.int32)

@@ -52,6 +52,29 @@ def test_narrow_for_staging_roundtrip():
         assert a is b
 
 
+def test_narrow_bf16_preserves_pad_sentinel():
+    """bf16 cannot represent -10000 (it rounds to -9984), which would
+    silently defeat the on-device pad-equality tests (PatchEncoder,
+    ref encoders.py:273; ContinuousValueEncoder padding_value zeroing).
+    Arrays containing the sentinel must stay fp32 under bf16 staging;
+    sentinel-free arrays still narrow."""
+    from mca_tpu.train import narrow_for_staging
+
+    with_pad = {
+        "m": {"values": np.array([[1.5, -10000.0]], np.float32)}
+    }
+    clean = {"m": {"values": np.array([[1.5, 2.5]], np.float32)}}
+    kept = jax.tree.leaves(narrow_for_staging(with_pad, "bf16"))[0]
+    assert kept.dtype == np.float32
+    assert (kept == -10000.0).any()
+    narrowed = jax.tree.leaves(narrow_for_staging(clean, "bf16"))[0]
+    assert narrowed.dtype == jnp.bfloat16
+    # fp16 represents -10000 exactly -> narrowing stays safe
+    f16 = jax.tree.leaves(narrow_for_staging(with_pad, "fp16"))[0]
+    assert f16.dtype == np.float16
+    assert (f16.astype(np.float32) == -10000.0).any()
+
+
 def test_fp16_staged_loss_close_to_fp32():
     """Input quantisation to fp16 moves the loss only marginally."""
     from mca_tpu.train import _upcast_staged, narrow_for_staging
@@ -148,6 +171,58 @@ def test_wandb_restart_config_plumbs_resume():
 
     src = inspect.getsource(T.train)
     assert "wandb_restart" in src and '"must"' in src
+
+
+def test_reproduce_respects_explicit_dataset_and_bare_sections(
+    tmp_path, monkeypatch
+):
+    """A train config FILE that names its own `dataset:` must win over
+    preprocess.out (the pipeline doc promises default-not-override
+    semantics), and bare `train:` / `probe:` YAML sections (None) must
+    not crash.  Stages are stubbed — this pins the plumbing only."""
+    import yaml
+
+    import mca_tpu.infer as infer_mod
+    import mca_tpu.probe as probe_mod
+    import mca_tpu.train as train_mod
+    from mca_tpu.tools.reproduce import reproduce
+
+    explicit = str(tmp_path / "real_dataset")
+    tcfg = dict(
+        tiny_config("tcga", epochs=1),
+        dataset=explicit,
+        output_dir=str(tmp_path / "out"),
+    )
+    cfg_path = tmp_path / "train.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(tcfg, f)
+
+    seen = {}
+
+    def fake_train(cfg):
+        seen["dataset"] = cfg.dataset
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        return cfg.output_dir
+
+    monkeypatch.setattr(train_mod, "train", fake_train)
+    monkeypatch.setattr(infer_mod, "infer", lambda cfg: None)
+    monkeypatch.setattr(probe_mod, "probe", lambda cfg: {"f1": 0.5})
+
+    synth_out = tmp_path / "synth"
+    from mca_tpu.data.synthetic import make_tcga_like, to_hf_dataset
+
+    to_hf_dataset(make_tcga_like(4, seed=0)).save_to_disk(
+        str(synth_out)
+    )
+    summary = reproduce(
+        {
+            "preprocess": {"out": str(synth_out)},  # exists -> reused
+            "train": str(cfg_path),
+            "probe": None,  # bare `probe:` section
+        }
+    )
+    assert seen["dataset"] == explicit  # not clobbered by synth_out
+    assert summary["probe"] == {"f1": 0.5}
 
 
 def test_reproduce_pipeline_synthetic(tmp_path):
