@@ -47,6 +47,18 @@ def main() -> None:
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
     overrides = {"batch_size": batch_size}
     overrides["attention_impl"] = os.environ.get("BENCH_ATTN", "auto")
+    # model-scale knobs (default = canonical TCGA_config1 scale): used
+    # to measure MFU vs model width — e.g. BENCH_DIM=1024
+    # BENCH_DIM_HEAD=128 doubles MXU contraction depth (PERF.md r3,
+    # "MFU ceiling is the model scale")
+    for env, key in (
+        ("BENCH_DIM", "hidden_size"),
+        ("BENCH_DEPTH", "layers"),
+        ("BENCH_HEADS", "heads"),
+        ("BENCH_DIM_HEAD", "dim_head"),
+    ):
+        if os.environ.get(env):
+            overrides[key] = int(os.environ[env])
     variant = os.environ.get("BENCH_VARIANT", "")  # "" | zorro | eao
     if variant == "zorro":
         overrides["zorro"] = True

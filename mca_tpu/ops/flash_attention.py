@@ -37,6 +37,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+# base-2 softmax (MCA_FLASH_EXP2=1): fold log2(e) into the q scale so
+# every [bq, bk] exponential becomes a raw exp2 — the VPU computes
+# exp(x) as exp2(x * log2e), so pre-folding the constant into the
+# existing [bq, d] scale multiply deletes one [bq, bk] multiply per
+# exp sweep per tile.  lse is then stored in base-2 units (fwd and bwd
+# agree; it never leaves the custom_vjp), and dk, which absorbs the q
+# pre-scale, is corrected by 1/log2e once per kv-block flush.
+LOG2E = 1.4426950408889634
+INV_LOG2E = 1.0 / LOG2E
 # row-statistic floor: a fully-masked row's max/lse is NEG_INF; flooring
 # at DEAD_CLAMP makes exp(NEG_INF - DEAD_CLAMP) == 0 so dead rows yield
 # p == 0 without spending a [bq, bk] where on every tile (real scores
@@ -140,6 +149,7 @@ def _fwd_kernel(
     # inputs: q, k, v, [mask,] pad — then outputs and scratch
     q_ref, k_ref, v_ref, *rest,
     scale: float, has_mask: bool = True, mask_mode: str = "select",
+    use_exp2: bool = False,
 ):
     if has_mask:
         mask_ref, pad_ref, out_ref, lse_ref, m_scr, l_scr, acc_scr = rest
@@ -161,8 +171,11 @@ def _fwd_kernel(
 
     # native-dtype operands (bf16 hits the MXU at full rate), fp32
     # accumulation via preferred_element_type; scale folded into the q
-    # tile ([bq, d] multiplies instead of [bq, bk])
-    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)  # [bq, d]
+    # tile ([bq, d] multiplies instead of [bq, bk]); exp2 mode folds
+    # log2e in too and works in the base-2 domain throughout
+    exp = jnp.exp2 if use_exp2 else jnp.exp
+    qscale = scale * LOG2E if use_exp2 else scale
+    q = q_ref[0] * jnp.asarray(qscale, q_ref.dtype)  # [bq, d]
     k = k_ref[0]  # [bk, d]
     v = v_ref[0]  # [bk, d]
     s = jax.lax.dot_general(
@@ -182,8 +195,8 @@ def _fwd_kernel(
         jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True)),
         DEAD_CLAMP,
     )
-    p = jnp.exp(s - m_new)
-    correction = jnp.exp(m_prev - m_new)
+    p = exp(s - m_new)
+    correction = exp(m_prev - m_new)
     l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * correction + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -198,9 +211,13 @@ def _fwd_kernel(
         out = jnp.where(l > 0, acc_scr[:] / jnp.where(l > 0, l, 1.0), 0.0)
         out_ref[0] = out.astype(out_ref.dtype)
         m = m_scr[:][:, :1]
-        lse = jnp.where(
-            l > 0, m + jnp.log(jnp.where(l > 0, l, 1.0)), NEG_INF
-        )
+        # exp2 mode: lse in base-2 units (log2(l) == ln(l) * log2e —
+        # stick to jnp.log, guaranteed to lower, [bq, 1] once per row
+        # block either way)
+        logl = jnp.log(jnp.where(l > 0, l, 1.0))
+        if use_exp2:
+            logl = logl * LOG2E
+        lse = jnp.where(l > 0, m + logl, NEG_INF)
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
@@ -213,6 +230,7 @@ def _dq_kernel(
     q_of, kv_of, full_of,
     q_ref, k_ref, v_ref, *rest,
     scale: float, has_mask: bool = True, mask_mode: str = "select",
+    use_exp2: bool = False,
 ):
     if has_mask:
         (mask_ref, pad_ref, do_ref, lse_ref, delta_ref,
@@ -234,8 +252,10 @@ def _dq_kernel(
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
     # scale folded into the q tile: s matches the forward exactly and
-    # the [bq, bk] multiply disappears
-    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
+    # the [bq, bk] multiply disappears (exp2 mode folds log2e in too;
+    # lse arrives in matching base-2 units)
+    qscale = scale * LOG2E if use_exp2 else scale
+    q = q_ref[0] * jnp.asarray(qscale, q_ref.dtype)
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
@@ -248,7 +268,7 @@ def _dq_kernel(
         preferred_element_type=jnp.float32,
     )
     s = _apply_masks(s, t, full_of, mask_ref, pad_ref, has_mask, mask_mode)
-    p = jnp.exp(s - lse)
+    p = (jnp.exp2 if use_exp2 else jnp.exp)(s - lse)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -268,7 +288,7 @@ def _fused_bwd_kernel(
     q_of, kv_of, full_of,
     q_ref, k_ref, v_ref, *rest,
     scale: float, block_q: int, has_mask: bool = True,
-    mask_mode: str = "select",
+    mask_mode: str = "select", use_exp2: bool = False,
 ):
     """Single kv-major pass computing dq, dk and dv together.
 
@@ -309,8 +329,11 @@ def _fused_bwd_kernel(
 
     # scale folded into the q tile: s matches the forward, the
     # [bq, bk] multiply disappears, and dk's scale factor is absorbed
-    # (dot(ds^T, scale*q) == scale * dot(ds^T, q))
-    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
+    # (dot(ds^T, scale*q) == scale * dot(ds^T, q)).  exp2 mode folds
+    # log2e in too (lse arrives base-2); the extra log2e absorbed into
+    # dk is divided back out once per kv-block flush.
+    qscale = scale * LOG2E if use_exp2 else scale
+    q = q_ref[0] * jnp.asarray(qscale, q_ref.dtype)
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
@@ -322,7 +345,7 @@ def _fused_bwd_kernel(
         preferred_element_type=jnp.float32,
     )
     s = _apply_masks(s, t, full_of, mask_ref, pad_ref, has_mask, mask_mode)
-    p = jnp.exp(s - lse)
+    p = (jnp.exp2 if use_exp2 else jnp.exp)(s - lse)
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -344,7 +367,8 @@ def _fused_bwd_kernel(
 
     @pl.when(kv_last)
     def _():
-        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dk = dk_scr[:] * INV_LOG2E if use_exp2 else dk_scr[:]
+        dk_ref[0] = dk.astype(dk_ref.dtype)
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
@@ -352,6 +376,7 @@ def _dkv_kernel(
     q_of, kv_of, full_of,
     q_ref, k_ref, v_ref, *rest,
     scale: float, has_mask: bool = True, mask_mode: str = "select",
+    use_exp2: bool = False,
 ):
     if has_mask:
         (mask_ref, pad_ref, do_ref, lse_ref, delta_ref,
@@ -376,8 +401,11 @@ def _dkv_kernel(
 
     # scale folded into the q tile: s matches the forward, the
     # [bq, bk] multiply disappears, and dk's scale factor is absorbed
-    # (dot(ds^T, scale*q) == scale * dot(ds^T, q))
-    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
+    # (dot(ds^T, scale*q) == scale * dot(ds^T, q)).  exp2 mode folds
+    # log2e in too (lse arrives base-2); the extra log2e absorbed into
+    # dk is divided back out once per kv-block flush.
+    qscale = scale * LOG2E if use_exp2 else scale
+    q = q_ref[0] * jnp.asarray(qscale, q_ref.dtype)
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
@@ -389,7 +417,7 @@ def _dkv_kernel(
         preferred_element_type=jnp.float32,
     )
     s = _apply_masks(s, t, full_of, mask_ref, pad_ref, has_mask, mask_mode)
-    p = jnp.exp(s - lse)
+    p = (jnp.exp2 if use_exp2 else jnp.exp)(s - lse)
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -406,7 +434,8 @@ def _dkv_kernel(
 
     @pl.when(is_last)
     def _():
-        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dk = dk_scr[:] * INV_LOG2E if use_exp2 else dk_scr[:]
+        dk_ref[0] = dk.astype(dk_ref.dtype)
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
@@ -527,6 +556,7 @@ def make_flash_attention(
     bwd_impl: str = "fused",
     interpret: bool = False,
     mask_mode: str = "select",
+    use_exp2: bool = False,
 ):
     """Build a flash-attention fn for one static mask.
 
@@ -614,7 +644,7 @@ def make_flash_attention(
         out, lse = pl.pallas_call(
             functools.partial(
                 _fwd_kernel, scale=scale, has_mask=has_mask,
-                mask_mode=mask_mode,
+                mask_mode=mask_mode, use_exp2=use_exp2,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
@@ -700,7 +730,7 @@ def make_flash_attention(
         dq = pl.pallas_call(
             functools.partial(
                 _dq_kernel, scale=scale, has_mask=has_mask,
-                mask_mode=mask_mode,
+                mask_mode=mask_mode, use_exp2=use_exp2,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
@@ -726,7 +756,7 @@ def make_flash_attention(
         dk, dv = pl.pallas_call(
             functools.partial(
                 _dkv_kernel, scale=scale, has_mask=has_mask,
-                mask_mode=mask_mode,
+                mask_mode=mask_mode, use_exp2=use_exp2,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
@@ -797,6 +827,7 @@ def make_flash_attention(
                 block_q=block_q,
                 has_mask=has_mask,
                 mask_mode=mask_mode,
+                use_exp2=use_exp2,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
@@ -1046,6 +1077,7 @@ def _measure_blocks(
     dtype,
     bwd_impl: str,
     mask_mode: str = "select",
+    use_exp2: bool = False,
 ) -> Tuple[int, int]:
     """Measure-at-first-use tuner (``MCA_FLASH_TUNE=measure``).
 
@@ -1070,7 +1102,7 @@ def _measure_blocks(
         f"{attn_mask.shape[0]}x{attn_mask.shape[1]}:"
         f"{zlib.crc32(attn_mask.tobytes()):08x}:bh{b * h}:d{d}:"
         f"{np.dtype(dtype).name}:{bwd_impl}:{mask_mode}:"
-        f"{jax.devices()[0].device_kind}"
+        f"exp2{int(use_exp2)}:{jax.devices()[0].device_kind}"
     )
     path = _tune_cache_path()
     cache = {}
@@ -1107,6 +1139,7 @@ def _measure_blocks(
             block_k=bk,
             bwd_impl=bwd_impl,
             mask_mode=mask_mode,
+            use_exp2=use_exp2,
         )
 
         def obj(q, k, v):
@@ -1191,6 +1224,8 @@ def flash_masked_attention(
     # select (default) | add | skip — see _apply_masks for the
     # measured tradeoffs
     mask_mode = os.environ.get("MCA_FLASH_MASK_MODE", "select")
+    # base-2 softmax A/B knob (see LOG2E above)
+    use_exp2 = os.environ.get("MCA_FLASH_EXP2", "0") == "1"
     if block_q is None or block_k is None:
         if (
             os.environ.get("MCA_FLASH_TUNE") == "measure"
@@ -1200,7 +1235,8 @@ def flash_masked_attention(
             # measure-at-first-use: on-device micro-sweep of the cost
             # model's top candidates, disk-cached per mask/shape
             auto_q, auto_k = _measure_blocks(
-                attn_mask, scale, q.shape, q.dtype, bwd_impl, mask_mode
+                attn_mask, scale, q.shape, q.dtype, bwd_impl,
+                mask_mode, use_exp2,
             )
         else:
             auto_q, auto_k = _auto_blocks(attn_mask)
@@ -1215,6 +1251,7 @@ def flash_masked_attention(
         bwd_impl,
         interpret,
         mask_mode,
+        use_exp2,
     )
     if key not in _CACHE:
         _CACHE[key] = make_flash_attention(
@@ -1225,5 +1262,6 @@ def flash_masked_attention(
             bwd_impl=bwd_impl,
             interpret=interpret,
             mask_mode=mask_mode,
+            use_exp2=use_exp2,
         )
     return _CACHE[key](q, k, v, key_padding_mask)

@@ -136,6 +136,50 @@ def test_gradients_match_dense(rng, bwd_impl):
         )
 
 
+@pytest.mark.parametrize("bwd_impl", ["split", "fused"])
+def test_exp2_mode_matches_dense(rng, bwd_impl, monkeypatch):
+    """MCA_FLASH_EXP2=1 (base-2 softmax, log2e folded into the q
+    scale, lse stored base-2, dk's absorbed log2e divided out at
+    flush) must reproduce dense values AND gradients — the two
+    domains are algebraically identical up to rounding."""
+    monkeypatch.setenv("MCA_FLASH_EXP2", "1")
+    ms = M.build_masks([96, 64], 66, [2, 1])
+    t = ms.seq_len
+    q, k, v = _rand_qkv(rng, 2, 2, t, 64)
+    pad = np.zeros((2, t), bool)
+    pad[0, 96:130] = True
+    _compare(q, k, v, ms.attn_mask, pad)
+
+    pad_j = jnp.asarray(pad)
+    mask_j = jnp.asarray(ms.attn_mask)
+    blocked = np.asarray(ms.attn_mask)[None] | pad[:, None, :]
+    live = jnp.asarray(~blocked.all(axis=2))
+    w = jnp.asarray(rng.normal(size=(2, 2, t, 64)).astype(np.float32))
+
+    def obj_dense(q, k, v):
+        o = dense_masked_attention(
+            q, k, v, scale=SCALE, attn_mask=mask_j,
+            key_padding_mask=pad_j,
+        )
+        return (o * w * live[:, None, :, None]).sum()
+
+    def obj_flash(q, k, v):
+        o = flash_masked_attention(
+            q, k, v, scale=SCALE, attn_mask=ms.attn_mask,
+            key_padding_mask=pad_j, block_q=64, block_k=64,
+            bwd_impl=bwd_impl, interpret=True,
+        )
+        return (o * w * live[:, None, :, None]).sum()
+
+    gd = jax.grad(obj_dense, argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(obj_flash, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", gd, gf):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4,
+            err_msg=f"d{name} mismatch (exp2 mode)",
+        )
+
+
 def test_fused_bwd_matches_split_asymmetric(rng):
     """Fused single-pass backward == split two-pass backward, under a
     block-sparse mask, padding, bf16 inputs, and block_q != block_k
