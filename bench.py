@@ -51,6 +51,7 @@ def main() -> None:
     # to measure MFU vs model width — e.g. BENCH_DIM=1024
     # BENCH_DIM_HEAD=128 doubles MXU contraction depth (PERF.md r3,
     # "MFU ceiling is the model scale")
+    scale_overrides = {}
     for env, key in (
         ("BENCH_DIM", "hidden_size"),
         ("BENCH_DEPTH", "layers"),
@@ -58,7 +59,8 @@ def main() -> None:
         ("BENCH_DIM_HEAD", "dim_head"),
     ):
         if os.environ.get(env):
-            overrides[key] = int(os.environ[env])
+            scale_overrides[key] = int(os.environ[env])
+    overrides.update(scale_overrides)
     variant = os.environ.get("BENCH_VARIANT", "")  # "" | zorro | eao
     if variant == "zorro":
         overrides["zorro"] = True
@@ -249,6 +251,14 @@ def main() -> None:
     )
     vs_baseline = None
     baseline_note = "no measured baseline available"
+    if scale_overrides:
+        # a non-canonical model scale is not comparable to the
+        # canonical-scale PyTorch baseline measurement
+        baseline_note = (
+            "model scale overridden "
+            f"({scale_overrides}); no comparable baseline"
+        )
+        baseline_path = ""
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f)
@@ -269,7 +279,13 @@ def main() -> None:
                     f"{dataset.upper()}_config1 "
                     f"{variant.upper() or 'MCA'} pretrain "
                     f"throughput (fwd+loss+bwd+AdamW, batch "
-                    f"{cfg.batch_size}, seq {seq_len})"
+                    f"{cfg.batch_size}, seq {seq_len}"
+                    + (
+                        f", scale {scale_overrides}"
+                        if scale_overrides
+                        else ""
+                    )
+                    + ")"
                 ),
                 "value": round(tokens_per_sec, 1),
                 "unit": "tokens/sec/chip",

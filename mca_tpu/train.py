@@ -165,12 +165,32 @@ def init_state(
 
 
 # The reference's universal pad/missing marker (ref encoders.py:288,
-# 346).  Collators accept a configurable pad_token, but every shipped
-# config uses -10000; staging narrowing must never round it away.
-_PAD_SENTINELS = (-10000.0,)
+# 346) — the default when a modality_config doesn't say otherwise.
+_DEFAULT_PAD_TOKEN = -10000.0
 
 
-def narrow_for_staging(batch, stage_dtype: str):
+def _pad_representable(pad: float, nd) -> bool:
+    return float(np.asarray(pad, nd).astype(np.float32)) == float(
+        np.float32(pad)
+    )
+
+
+def _nearest_distinct(pad: float, nd):
+    """The closest ``nd``-representable value that is NOT ``pad``
+    (toward zero, sign-preserving) — where live values that narrowing
+    rounds ONTO the sentinel get nudged to."""
+    p32 = np.float32(pad)
+    if p32 == 0:
+        return np.asarray(np.finfo(nd).smallest_normal, nd)
+    pn = np.asarray(p32, nd)
+    for k in range(12, 5, -1):  # finest first -> nearest distinct
+        c = np.asarray(p32 * np.float32(1 - 2.0 ** -k), nd)
+        if c != pn:
+            return c
+    raise AssertionError(f"no {nd} neighbour for pad {pad}")
+
+
+def narrow_for_staging(batch, stage_dtype: str, pad_tokens=None):
     """Host-side batch narrowing before H2D staging.
 
     The streaming input pipeline is H2D-bandwidth-bound through the
@@ -181,36 +201,55 @@ def narrow_for_staging(batch, stage_dtype: str):
     everything downstream of the input quantisation is unchanged.
     Default ``fp32`` is byte-exact with the reference's pipeline.
 
-    Arrays carrying the reference's ``-10000`` pad/missing sentinel
-    (ref encoders.py:288, 346 — MatrixCollator rows and TCGA sequence
-    pads; PatchEncoder re-detects the sentinel ON DEVICE,
-    ref encoders.py:273) are left fp32 when the narrow dtype cannot
-    represent the sentinel exactly: bf16 rounds ``-10000 -> -9984``,
-    which would silently defeat the equality test and attend to padded
-    garbage.  fp16 represents ``-10000`` exactly, so it narrows all
-    float features.
+    ``pad_tokens`` maps modality -> its configured ``pad_token``
+    (default: the reference's universal ``-10000``, ref
+    encoders.py:288, 346).  Pad sentinels are re-detected ON DEVICE by
+    exact equality (PatchEncoder, ref encoders.py:273), so narrowing
+    must preserve the live/pad partition exactly.  Two hazards, both
+    handled STATICALLY per modality so staged dtypes never depend on
+    batch contents (a data-dependent dtype would re-trigger jit
+    compilation of the K-step scan whenever sentinel presence flips
+    between chunks):
+
+    - a float modality whose pad value the narrow dtype cannot
+      represent exactly stays fp32 for EVERY batch (bf16 rounds
+      ``-10000 -> -9984``, silently defeating the equality test);
+    - in narrowable modalities, live values that ROUND onto the
+      sentinel (fp16 maps all of ``(-10004, -9996)`` to ``-10000``)
+      are nudged one representable step toward zero — a <0.1%
+      perturbation inside the staging quantisation budget, instead of
+      a live token silently becoming padding.
     """
     if stage_dtype in ("fp32", "", None):
         return batch
     nd = {"fp16": np.float16, "bf16": jnp.bfloat16}[stage_dtype]
-    unsafe_markers = [
-        m
-        for m in _PAD_SENTINELS
-        if np.asarray(m, nd).astype(np.float32) != np.float32(m)
-    ]
+    pad_tokens = pad_tokens or {}
 
-    def narrow(x):
-        x = np.asarray(x)
-        if x.dtype == np.float32:
-            for m in unsafe_markers:
-                if (x == m).any():
-                    return x  # narrowing would corrupt the pad sentinel
-            return x.astype(nd)
-        if x.dtype == np.int64:
-            return x.astype(np.int32)
-        return x
-
-    return jax.tree.map(narrow, batch)
+    out = {}
+    for mod, cols in batch.items():
+        pad = float(pad_tokens.get(mod, _DEFAULT_PAD_TOKEN))
+        pad_ok = _pad_representable(pad, nd)
+        bump = _nearest_distinct(pad, nd) if pad_ok else None
+        ncols = {}
+        for name, x in cols.items():
+            x = np.asarray(x)
+            if x.dtype == np.float32:
+                if not pad_ok:
+                    ncols[name] = x  # static: never narrows
+                    continue
+                xn = x.astype(nd)
+                collided = (
+                    xn.astype(np.float32) == np.float32(pad)
+                ) & (x != np.float32(pad))
+                if collided.any():
+                    xn[collided] = bump
+                ncols[name] = xn
+            elif x.dtype == np.int64:
+                ncols[name] = x.astype(np.int32)
+            else:
+                ncols[name] = x
+        out[mod] = ncols
+    return out
 
 
 def _upcast_staged(batch):
@@ -869,12 +908,19 @@ def train(config: Config) -> str:
 
     scan_mode = train_steps is not None
     stage_dtype = config.get("stage_dtype", "fp32")
+    pad_tokens = {
+        m: c.get("pad_token", _DEFAULT_PAD_TOKEN)
+        for m, c in config.modality_config.to_plain().items()
+    }
 
     def _prep_chunk(chunk):
         """Producer-side chunk assembly: narrowing + stacking happen in
         the prefetch thread so the main thread only device_puts and
         dispatches (host work off the critical path)."""
-        chunk = [narrow_for_staging(b, stage_dtype) for b in chunk]
+        chunk = [
+            narrow_for_staging(b, stage_dtype, pad_tokens)
+            for b in chunk
+        ]
         if scan_mode:
             return stack_batches(chunk), len(chunk)
         return list(chunk), len(chunk)

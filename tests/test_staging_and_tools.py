@@ -56,8 +56,12 @@ def test_narrow_bf16_preserves_pad_sentinel():
     """bf16 cannot represent -10000 (it rounds to -9984), which would
     silently defeat the on-device pad-equality tests (PatchEncoder,
     ref encoders.py:273; ContinuousValueEncoder padding_value zeroing).
-    Arrays containing the sentinel must stay fp32 under bf16 staging;
-    sentinel-free arrays still narrow."""
+    The decision is STATIC per modality (never data-dependent — a
+    data-dependent dtype would recompile the jitted K-step scan when
+    sentinel presence flips between chunks): every float array of a
+    modality whose pad value bf16 cannot represent stays fp32, with
+    or without sentinels present; a modality whose configured pad
+    bf16 CAN represent narrows."""
     from mca_tpu.train import narrow_for_staging
 
     with_pad = {
@@ -67,12 +71,43 @@ def test_narrow_bf16_preserves_pad_sentinel():
     kept = jax.tree.leaves(narrow_for_staging(with_pad, "bf16"))[0]
     assert kept.dtype == np.float32
     assert (kept == -10000.0).any()
-    narrowed = jax.tree.leaves(narrow_for_staging(clean, "bf16"))[0]
+    # STATIC per modality: the sentinel-free batch keeps the same
+    # dtype as the sentinel-carrying one (stable jit signature)
+    clean_kept = jax.tree.leaves(narrow_for_staging(clean, "bf16"))[0]
+    assert clean_kept.dtype == np.float32
+    # a bf16-representable pad token narrows (and survives exactly)
+    rep = {"m": {"values": np.array([[1.5, -8192.0]], np.float32)}}
+    narrowed = jax.tree.leaves(
+        narrow_for_staging(rep, "bf16", {"m": -8192.0})
+    )[0]
     assert narrowed.dtype == jnp.bfloat16
+    assert (narrowed.astype(np.float32) == -8192.0).any()
     # fp16 represents -10000 exactly -> narrowing stays safe
     f16 = jax.tree.leaves(narrow_for_staging(with_pad, "fp16"))[0]
     assert f16.dtype == np.float16
     assert (f16.astype(np.float32) == -10000.0).any()
+
+
+def test_narrow_fp16_nudges_collided_live_values():
+    """fp16 rounds every value in (-10004, -9996) onto the -10000
+    sentinel; a live feature in that window must NOT become padding on
+    device — it gets nudged one representable step away instead."""
+    from mca_tpu.train import narrow_for_staging
+
+    batch = {
+        "m": {
+            "values": np.array(
+                [[-9998.0, -10000.0, 3.25]], np.float32
+            )
+        }
+    }
+    f16 = jax.tree.leaves(narrow_for_staging(batch, "fp16"))[0]
+    assert f16.dtype == np.float16
+    up = f16.astype(np.float32)
+    assert up[0, 1] == -10000.0  # real pad survives exactly
+    assert up[0, 0] != -10000.0  # live value did not become padding
+    assert abs(up[0, 0] + 9998.0) < 20  # ...and stayed close
+    assert up[0, 2] == 3.25
 
 
 def test_fp16_staged_loss_close_to_fp32():
