@@ -169,6 +169,48 @@ def init_state(
 _DEFAULT_PAD_TOKEN = -10000.0
 
 
+def staging_sentinels(config) -> dict:
+    """Per-modality float value the ON-DEVICE path re-detects by exact
+    equality (so staging narrowing must preserve it and never round a
+    live value onto it), or ``None`` when narrowing is unconditionally
+    safe for that modality:
+
+    - ``matrix`` -> PatchEncoder marks patches entirely equal to its
+      ``pad_token`` (encoders.py:343; ref encoders.py:273)
+    - ``sequence`` + (Sparse)TabularEncoder -> ContinuousValueEncoder
+      zeroes positions equal to ``padding_value=float(padding_idx)``
+      (encoders.py:100; ref encoders.py:55)
+    - ``embedded_sequence`` / SequenceEncoder -> pad rides in an
+      explicit ``attention_mask`` / int token ids; no float equality
+      ever runs on device, so the big streamed CMU float features
+      narrow freely
+    """
+    enc = config.encoder_configs.to_plain()
+    out = {}
+    for m, c in config.modality_config.to_plain().items():
+        typ = c.get("type")
+        if typ == "matrix":
+            e = enc.get(m, {})
+            out[m] = float(
+                e.get(
+                    "pad_token",
+                    c.get("pad_token", _DEFAULT_PAD_TOKEN),
+                )
+            )
+        elif typ == "sequence":
+            e = enc.get(m, {})
+            et = e.get("type", "")
+            if et == "TabularEncoder":
+                out[m] = float(e.get("padding_idx", -1))
+            elif et == "SparseTabularEncoder":
+                out[m] = float(e.get("padding_idx", 0))
+            else:
+                out[m] = None  # SequenceEncoder: int tokens only
+        else:
+            out[m] = None
+    return out
+
+
 def _pad_representable(pad: float, nd) -> bool:
     return float(np.asarray(pad, nd).astype(np.float32)) == float(
         np.float32(pad)
@@ -190,7 +232,7 @@ def _nearest_distinct(pad: float, nd):
     raise AssertionError(f"no {nd} neighbour for pad {pad}")
 
 
-def narrow_for_staging(batch, stage_dtype: str, pad_tokens=None):
+def narrow_for_staging(batch, stage_dtype: str, sentinels=None):
     """Host-side batch narrowing before H2D staging.
 
     The streaming input pipeline is H2D-bandwidth-bound through the
@@ -201,17 +243,18 @@ def narrow_for_staging(batch, stage_dtype: str, pad_tokens=None):
     everything downstream of the input quantisation is unchanged.
     Default ``fp32`` is byte-exact with the reference's pipeline.
 
-    ``pad_tokens`` maps modality -> its configured ``pad_token``
-    (default: the reference's universal ``-10000``, ref
-    encoders.py:288, 346).  Pad sentinels are re-detected ON DEVICE by
-    exact equality (PatchEncoder, ref encoders.py:273), so narrowing
-    must preserve the live/pad partition exactly.  Two hazards, both
-    handled STATICALLY per modality so staged dtypes never depend on
-    batch contents (a data-dependent dtype would re-trigger jit
-    compilation of the K-step scan whenever sentinel presence flips
-    between chunks):
+    ``sentinels`` maps modality -> the float value its on-device path
+    re-detects by exact equality, or ``None`` for none (see
+    :func:`staging_sentinels`); when the dict itself is omitted, every
+    modality conservatively gets the reference's universal ``-10000``
+    pad marker (ref encoders.py:288, 346).  Narrowing must preserve
+    the live/sentinel partition exactly.  Two hazards, both handled
+    STATICALLY per modality so staged dtypes never depend on batch
+    contents (a data-dependent dtype would re-trigger jit compilation
+    of the K-step scan whenever sentinel presence flips between
+    chunks):
 
-    - a float modality whose pad value the narrow dtype cannot
+    - a float modality whose sentinel the narrow dtype cannot
       represent exactly stays fp32 for EVERY batch (bf16 rounds
       ``-10000 -> -9984``, silently defeating the equality test);
     - in narrowable modalities, live values that ROUND onto the
@@ -219,17 +262,26 @@ def narrow_for_staging(batch, stage_dtype: str, pad_tokens=None):
       are nudged one representable step toward zero — a <0.1%
       perturbation inside the staging quantisation budget, instead of
       a live token silently becoming padding.
+
+    Sentinel-free modalities skip both the check and the per-batch
+    collision pass entirely.
     """
     if stage_dtype in ("fp32", "", None):
         return batch
     nd = {"fp16": np.float16, "bf16": jnp.bfloat16}[stage_dtype]
-    pad_tokens = pad_tokens or {}
 
     out = {}
     for mod, cols in batch.items():
-        pad = float(pad_tokens.get(mod, _DEFAULT_PAD_TOKEN))
-        pad_ok = _pad_representable(pad, nd)
-        bump = _nearest_distinct(pad, nd) if pad_ok else None
+        if sentinels is None:
+            pad = _DEFAULT_PAD_TOKEN
+        else:
+            pad = sentinels.get(mod)
+        if pad is None:
+            pad_ok, bump = True, None  # no on-device float equality
+        else:
+            pad = float(pad)
+            pad_ok = _pad_representable(pad, nd)
+            bump = _nearest_distinct(pad, nd) if pad_ok else None
         ncols = {}
         for name, x in cols.items():
             x = np.asarray(x)
@@ -238,11 +290,12 @@ def narrow_for_staging(batch, stage_dtype: str, pad_tokens=None):
                     ncols[name] = x  # static: never narrows
                     continue
                 xn = x.astype(nd)
-                collided = (
-                    xn.astype(np.float32) == np.float32(pad)
-                ) & (x != np.float32(pad))
-                if collided.any():
-                    xn[collided] = bump
+                if bump is not None:
+                    collided = (
+                        xn.astype(np.float32) == np.float32(pad)
+                    ) & (x != np.float32(pad))
+                    if collided.any():
+                        xn[collided] = bump
                 ncols[name] = xn
             elif x.dtype == np.int64:
                 ncols[name] = x.astype(np.int32)
@@ -908,17 +961,14 @@ def train(config: Config) -> str:
 
     scan_mode = train_steps is not None
     stage_dtype = config.get("stage_dtype", "fp32")
-    pad_tokens = {
-        m: c.get("pad_token", _DEFAULT_PAD_TOKEN)
-        for m, c in config.modality_config.to_plain().items()
-    }
+    sentinels = staging_sentinels(config)
 
     def _prep_chunk(chunk):
         """Producer-side chunk assembly: narrowing + stacking happen in
         the prefetch thread so the main thread only device_puts and
         dispatches (host work off the critical path)."""
         chunk = [
-            narrow_for_staging(b, stage_dtype, pad_tokens)
+            narrow_for_staging(b, stage_dtype, sentinels)
             for b in chunk
         ]
         if scan_mode:

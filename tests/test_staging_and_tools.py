@@ -82,10 +82,53 @@ def test_narrow_bf16_preserves_pad_sentinel():
     )[0]
     assert narrowed.dtype == jnp.bfloat16
     assert (narrowed.astype(np.float32) == -8192.0).any()
+    # a sentinel-free modality (on-device path never does float
+    # equality, e.g. CMU's EmbeddedSequenceEncoder) narrows freely
+    free = jax.tree.leaves(
+        narrow_for_staging(with_pad, "bf16", {"m": None})
+    )[0]
+    assert free.dtype == jnp.bfloat16
     # fp16 represents -10000 exactly -> narrowing stays safe
     f16 = jax.tree.leaves(narrow_for_staging(with_pad, "fp16"))[0]
     assert f16.dtype == np.float16
     assert (f16.astype(np.float32) == -10000.0).any()
+
+
+def test_staging_sentinels_per_encoder():
+    """The sentinel map follows the on-device detection semantics:
+    TabularEncoder modalities detect padding_value=float(padding_idx),
+    embedded_sequence modalities detect nothing (explicit
+    attention_mask), matrix modalities detect the PatchEncoder
+    pad_token."""
+    from mca_tpu.train import staging_sentinels
+
+    cfg = training_config_from_dict(tiny_config("tcga"))
+    s = staging_sentinels(cfg)
+    # tiny TCGA uses TabularEncoder (padding_idx default -1)
+    assert all(v == -1.0 for v in s.values()), s
+
+    cmu = training_config_from_dict(
+        dict(
+            tiny_config("tcga"),
+            encoder_configs={
+                "a": {
+                    "type": "EmbeddedSequenceEncoder",
+                    "input_size": 4,
+                    "max_tokens": 6,
+                }
+            },
+            modality_config={
+                "a": {
+                    "type": "embedded_sequence",
+                    "pad_len": 6,
+                    "data_col_name": "data",
+                    "pad_token": -10000,
+                    "embedding_size": 4,
+                }
+            },
+        )
+    )
+    assert staging_sentinels(cmu) == {"a": None}
 
 
 def test_narrow_fp16_nudges_collided_live_values():
