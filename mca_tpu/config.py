@@ -138,6 +138,10 @@ def get_cfg_defaults_train() -> Config:
             "attention_impl": "auto",    # dense | pallas | segmented | auto
             "mesh_data": 0,              # 0 = use all devices on the data axis
             "mesh_model": 1,             # tensor-parallel axis size
+            "fsdp": False,               # ZeRO-style param/optimizer sharding
+                                         # over the data axis (for models that
+                                         # outgrow one chip's HBM; the 16M-param
+                                         # reference is faster replicated)
             "log_every": 1,              # JSONL log cadence (steps)
             "steps_per_call": 0,         # optimiser steps per launch (0 = auto)
             "checkpoint_keep": 0,        # 0 = keep all epoch checkpoints

@@ -371,10 +371,15 @@ def _step_body(model, tx, schedule, state, batch, dropout_seed=0):
     return new_state, metrics
 
 
-def make_train_step(model, tx, schedule, dropout_seed=0):
-    """One jit-compiled step (single batch)."""
+def make_train_step(model, tx, schedule, dropout_seed=0, out_shardings=None):
+    """One jit-compiled step (single batch).
 
-    @partial(jax.jit, donate_argnums=0)
+    ``out_shardings=(state_shardings, metrics_sharding)`` pins the
+    donated state's output layout — required under FSDP so XLA keeps
+    parameters/moments sharded on 'data' across steps instead of
+    choosing its own layout for the outputs."""
+
+    @partial(jax.jit, donate_argnums=0, out_shardings=out_shardings)
     def train_step(state, batch):
         return _step_body(
             model, tx, schedule, state, batch, dropout_seed
@@ -393,7 +398,9 @@ def step_metric_names(model, tx, schedule, state, batch):
     return tuple(sorted(shapes.keys()))
 
 
-def make_train_step_scan(model, tx, schedule, metric_names, dropout_seed=0):
+def make_train_step_scan(
+    model, tx, schedule, metric_names, dropout_seed=0, out_shardings=None
+):
     """K optimiser steps per executable launch.
 
     ``batches`` is a batch pytree with a leading [K] axis;
@@ -405,7 +412,7 @@ def make_train_step_scan(model, tx, schedule, metric_names, dropout_seed=0):
     896ms/step vs 111ms/step packed at TCGA scale).
     """
 
-    @partial(jax.jit, donate_argnums=0)
+    @partial(jax.jit, donate_argnums=0, out_shardings=out_shardings)
     def train_steps(state, batches):
         def body(st, batch):
             ns, metrics = _step_body(
@@ -459,19 +466,32 @@ def clamp_logit_scale_flat(
     return optax.GradientTransformation(init, update)
 
 
-def make_flat_apparatus(config: Config, num_training_steps: int, params):
+def make_flat_apparatus(
+    config: Config,
+    num_training_steps: int,
+    params,
+    pad_to_multiple: int = 1,
+):
     """(flat0, unravel, tx) for single-vector training state.
 
     The whole parameter tree is raveled into ONE fp32 vector: the
     optimiser becomes a handful of full-vector kernels instead of
     ~90-leaf elementwise chains, and the train state is ~6 device
     buffers instead of ~260 — which matters on remote-attached TPUs
-    where every argument/output handle has per-launch cost.  Pure data
-    parallelism only (tensor-parallel runs keep the tree state).
+    where every argument/output handle has per-launch cost.  Composes
+    with data parallelism and (via ``pad_to_multiple``) FSDP;
+    tensor-parallel runs keep the tree state.
+
+    ``pad_to_multiple`` zero-pads the vector so it shards evenly over
+    the FSDP ``data`` axis (jax requires divisible dims).  The tail is
+    numerically inert: ``unravel`` slices it off before the forward,
+    so its gradient is zero, AdamW's moments stay zero (zero grad,
+    zero weight-decay on zero weights), and the global-norm clip sums
+    zero squares over it.
     """
     from jax.flatten_util import ravel_pytree
 
-    flat0, unravel = ravel_pytree(params)
+    flat0, unravel_base = ravel_pytree(params)
     marker = jax.tree_util.tree_map_with_path(
         lambda p, x: np.full(
             np.shape(x), "logit_scale" in jax.tree_util.keystr(p)
@@ -479,6 +499,18 @@ def make_flat_apparatus(config: Config, num_training_steps: int, params):
         params,
     )
     flat_mask = jnp.asarray(ravel_pytree(marker)[0], bool)
+    n = int(flat0.size)
+    pad = (-n) % max(int(pad_to_multiple), 1)
+    if pad:
+        flat0 = jnp.concatenate(
+            [flat0, jnp.zeros((pad,), flat0.dtype)]
+        )
+        flat_mask = jnp.concatenate(
+            [flat_mask, jnp.zeros((pad,), bool)]
+        )
+        unravel = lambda v: unravel_base(v[:n])  # noqa: E731
+    else:
+        unravel = unravel_base
     schedule = hf_lr_schedule(
         config.lr_scheduler_type,
         config.lr,
@@ -534,9 +566,15 @@ def _flat_step_body(
 
 
 def make_flat_train_step_scan(
-    model, tx, schedule, unravel, metric_names, dropout_seed=0
+    model,
+    tx,
+    schedule,
+    unravel,
+    metric_names,
+    dropout_seed=0,
+    out_shardings=None,
 ):
-    @partial(jax.jit, donate_argnums=0)
+    @partial(jax.jit, donate_argnums=0, out_shardings=out_shardings)
     def train_steps(state, batches):
         def body(st, batch):
             ns, metrics = _flat_step_body(
@@ -800,7 +838,28 @@ def train(config: Config) -> str:
 
     first_batch = shard_batch(train_dl.first_batch(), mesh)
     state = init_state(model, tx, first_batch, config.seed)
-    state["params"] = shard_params(state["params"], mesh)
+    # fsdp: ZeRO-style param/optimizer sharding over the 'data' axis
+    # (forward all-gathers + backward reduce-scatters inserted by the
+    # XLA partitioner; shard-local AdamW).  Off by default — at the
+    # reference's 16M parameters replication is faster.
+    use_fsdp = bool(config.get("fsdp", False)) and mesh.shape["data"] > 1
+    from mca_tpu.parallel.sharding import FSDP_MIN_SIZE
+
+    fsdp_min = int(config.get("fsdp_min_size", FSDP_MIN_SIZE))
+    state["params"] = shard_params(
+        state["params"], mesh, fsdp=use_fsdp, fsdp_min_size=fsdp_min
+    )
+    if use_fsdp:
+        from mca_tpu.parallel.mesh import replicated
+        from mca_tpu.parallel.sharding import shard_opt_state
+
+        state["opt_state"] = shard_opt_state(
+            tx.init(state["params"]),
+            mesh,
+            fsdp=True,
+            fsdp_min_size=fsdp_min,
+        )
+        state["step"] = jax.device_put(state["step"], replicated(mesh))
 
     n_emb, n_non = count_parameters(state["params"])
     logger.info("Number of embedding parameters: %.2fM", n_emb / 1e6)
@@ -854,15 +913,57 @@ def train(config: Config) -> str:
         model, model_config, state["params"], first_batch
     )
     unravel = None
+    step_out_shardings = None
+    if use_fsdp:
+        from mca_tpu.parallel.mesh import replicated
+        from mca_tpu.parallel.sharding import state_shardings
+
+        if not flat_mode:
+            step_out_shardings = (
+                state_shardings(state),
+                replicated(mesh),  # prefix: every metric replicated
+            )
+        train_step = make_train_step(
+            model,
+            tx,
+            schedule,
+            dropout_seed=config.seed,
+            out_shardings=step_out_shardings,
+        )
     if flat_mode:
         flat0, unravel, flat_tx = make_flat_apparatus(
-            config, num_training_steps, state["params"]
+            config,
+            num_training_steps,
+            state["params"],
+            pad_to_multiple=mesh.shape["data"] if use_fsdp else 1,
         )
+        if use_fsdp:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from mca_tpu.parallel.mesh import replicated
+            from mca_tpu.parallel.sharding import (
+                shard_opt_state,
+                state_shardings,
+            )
+
+            flat0 = jax.device_put(flat0, NamedSharding(mesh, P("data")))
+            opt0 = shard_opt_state(
+                flat_tx.init(flat0),
+                mesh,
+                fsdp=True,
+                fsdp_min_size=min(fsdp_min, int(flat0.size)),
+            )
+        else:
+            opt0 = flat_tx.init(flat0)
         state = {
             "flat": flat0,
-            "opt_state": flat_tx.init(flat0),
+            "opt_state": opt0,
             "step": state["step"],
         }
+        if use_fsdp:
+            step_out_shardings = (
+                state_shardings(state),
+                replicated(mesh),
+            )
         train_steps = make_flat_train_step_scan(
             model,
             flat_tx,
@@ -870,11 +971,17 @@ def train(config: Config) -> str:
             unravel,
             metric_names,
             dropout_seed=config.seed,
+            out_shardings=step_out_shardings,
         )
         unravel_jit = jax.jit(unravel)
     elif steps_per_call > 1:
         train_steps = make_train_step_scan(
-            model, tx, schedule, metric_names, dropout_seed=config.seed
+            model,
+            tx,
+            schedule,
+            metric_names,
+            dropout_seed=config.seed,
+            out_shardings=step_out_shardings,
         )
     else:
         train_steps = None
@@ -928,10 +1035,25 @@ def train(config: Config) -> str:
         if flat_mode:
             from jax.flatten_util import ravel_pytree
 
+            flat = ravel_pytree(restored["params"])[0]
+            step_v = jnp.asarray(restored["step"])
+            if use_fsdp:
+                # back to the padded, 'data'-sharded layout the scan
+                # executable was compiled for
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from mca_tpu.parallel.mesh import replicated
+
+                pad = int(state["flat"].shape[0]) - int(flat.shape[0])
+                if pad:
+                    flat = jnp.concatenate(
+                        [flat, jnp.zeros((pad,), flat.dtype)]
+                    )
+                flat = jax.device_put(flat, NamedSharding(mesh, P("data")))
+                step_v = jax.device_put(step_v, replicated(mesh))
             return {
-                "flat": ravel_pytree(restored["params"])[0],
+                "flat": flat,
                 "opt_state": restored["opt_state"],
-                "step": jnp.asarray(restored["step"]),
+                "step": step_v,
             }
         return restored
 

@@ -176,7 +176,7 @@ def test_shard_map_loss_axis_equals_global():
 # ---------------------------------------------------------------------------
 
 
-def _production_apparatus(cfg, model, batches):
+def _production_apparatus(cfg, model, batches, pad_to_multiple=1, out_shardings=None):
     from mca_tpu.train import (
         make_flat_apparatus,
         make_flat_train_step_scan,
@@ -192,10 +192,11 @@ def _production_apparatus(cfg, model, batches):
     state0 = init_state(model, tx, batch0, seed=0)
     names = step_metric_names(model, tx, schedule, state0, batch0)
     flat0, unravel, flat_tx = make_flat_apparatus(
-        cfg, 10, state0["params"]
+        cfg, 10, state0["params"], pad_to_multiple=pad_to_multiple
     )
     steps = make_flat_train_step_scan(
-        model, flat_tx, schedule, unravel, names
+        model, flat_tx, schedule, unravel, names,
+        out_shardings=out_shardings,
     )
     stacked = stack_batches(batches)
 
@@ -289,3 +290,232 @@ def test_production_tree_step_pallas_bf16_dp_tp_matches_single():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=4e-3, atol=2e-4
         )
+
+
+# ---------------------------------------------------------------------------
+# FSDP (ZeRO-style param/optimizer sharding over 'data'): the sharded
+# runs must reproduce the unsharded trajectories, the state must
+# actually END UP sharded (out_shardings pins the donated outputs), and
+# the flat vector's divisibility padding must be numerically inert.
+# ---------------------------------------------------------------------------
+
+
+def test_flat_apparatus_padding_is_inert():
+    """pad_to_multiple changes the vector length but not the math:
+    padded and unpadded single-device scans produce identical metrics
+    and parameters."""
+    from mca_tpu.train import (
+        make_flat_apparatus,
+        make_flat_train_step_scan,
+        stack_batches,
+        step_metric_names,
+    )
+
+    cfg, model, _ = _setup(batch_size=4)
+    widths = {m: c["pad_len"] for m, c in cfg.modality_config.items()}
+    collate = MultimodalCollator(cfg.modality_config.to_plain())
+    batches = [
+        collate(make_tcga_like(4, widths=widths, p_missing=0.25, seed=s))
+        for s in (0, 1)
+    ]
+    batch0 = jax.tree.map(jnp.asarray, batches[0])
+    tx = make_optimizer(cfg, 10)
+    schedule = hf_lr_schedule(
+        cfg.lr_scheduler_type, cfg.lr, cfg.num_warmup_steps, 10
+    )
+    state0 = init_state(model, tx, batch0, seed=0)
+    names = step_metric_names(model, tx, schedule, state0, batch0)
+    stacked = jax.tree.map(jnp.asarray, stack_batches(batches))
+
+    results = {}
+    for mult in (1, 8):
+        flat0, unravel, flat_tx = make_flat_apparatus(
+            cfg, 10, state0["params"], pad_to_multiple=mult
+        )
+        steps = make_flat_train_step_scan(
+            model, flat_tx, schedule, unravel, names
+        )
+        st = {
+            "flat": jnp.array(flat0),
+            "opt_state": flat_tx.init(jnp.array(flat0)),
+            "step": jnp.zeros((), jnp.int32),
+        }
+        s, m = steps(st, stacked)
+        results[mult] = (np.asarray(m), np.asarray(s["flat"]))
+
+    n = results[1][1].shape[0]
+    assert results[8][1].shape[0] >= n
+    # the padded vector reorders the global-norm clip's partial sums
+    # (norm over n+pad elements), so "inert" means fp reduction-order
+    # noise, not bit-equality
+    np.testing.assert_allclose(
+        results[8][0], results[1][0], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        results[8][1][:n], results[1][1], rtol=1e-5, atol=1e-7
+    )
+    # the pad tail never moves off zero: zero grad -> zero moments,
+    # zero weight-decay, clip scales zero
+    np.testing.assert_array_equal(results[8][1][n:], 0.0)
+
+
+def test_production_flat_scan_fsdp_matches_single():
+    """FSDP on the production fast path: flat state sharded P('data')
+    over 8 devices (params + AdamW moments), bf16 + pallas flash +
+    scan K=2 — equals the single-device run, and the donated outputs
+    stay sharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mca_tpu.parallel.mesh import replicated
+    from mca_tpu.parallel.sharding import (
+        shard_opt_state,
+        state_shardings,
+    )
+    from mca_tpu.train import (
+        make_flat_apparatus,
+        make_flat_train_step_scan,
+        stack_batches,
+        step_metric_names,
+    )
+
+    cfg, model, _ = _setup(
+        batch_size=8, precision="bf16", attention_impl="pallas"
+    )
+    widths = {m: c["pad_len"] for m, c in cfg.modality_config.items()}
+    collate = MultimodalCollator(cfg.modality_config.to_plain())
+    batches = [
+        collate(make_tcga_like(8, widths=widths, p_missing=0.25, seed=s))
+        for s in (0, 1)
+    ]
+    batch0 = jax.tree.map(jnp.asarray, batches[0])
+    tx = make_optimizer(cfg, 10)
+    schedule = hf_lr_schedule(
+        cfg.lr_scheduler_type, cfg.lr, cfg.num_warmup_steps, 10
+    )
+    state0 = init_state(model, tx, batch0, seed=0)
+    names = step_metric_names(model, tx, schedule, state0, batch0)
+    flat0, unravel, flat_tx = make_flat_apparatus(
+        cfg, 10, state0["params"], pad_to_multiple=8
+    )
+    stacked = stack_batches(batches)
+
+    # single device (same padded apparatus -> identical math)
+    steps1 = make_flat_train_step_scan(
+        model, flat_tx, schedule, unravel, names
+    )
+    st1 = {
+        "flat": jnp.array(flat0),
+        "opt_state": flat_tx.init(jnp.array(flat0)),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    s1, m1 = steps1(st1, jax.tree.map(jnp.asarray, stacked))
+    m1, flat1 = np.asarray(m1), np.asarray(s1["flat"])
+
+    # fsdp over DP-8
+    mesh = make_mesh(8, 1)
+    fshard = NamedSharding(mesh, P("data"))
+    flat_s = jax.device_put(jnp.array(flat0), fshard)
+    st2 = {
+        "flat": flat_s,
+        "opt_state": shard_opt_state(
+            flat_tx.init(flat_s), mesh, fsdp=True, fsdp_min_size=0
+        ),
+        "step": jax.device_put(jnp.zeros((), jnp.int32), replicated(mesh)),
+    }
+    # AdamW moments really are distributed: one flat vector on 'data'
+    mus = [
+        x
+        for x in jax.tree.leaves(st2["opt_state"])
+        if getattr(x, "ndim", 0) == 1 and x.size == flat_s.size
+    ]
+    assert mus and all(x.sharding.spec == P("data") for x in mus)
+    steps2 = make_flat_train_step_scan(
+        model,
+        flat_tx,
+        schedule,
+        unravel,
+        names,
+        out_shardings=(state_shardings(st2), replicated(mesh)),
+    )
+    s2, m2 = steps2(
+        st2, shard_batch(stacked, mesh, leading_scan_axis=True)
+    )
+    assert s2["flat"].sharding.spec == P("data")
+    m2, flat2 = np.asarray(m2), np.asarray(s2["flat"])
+
+    np.testing.assert_allclose(m2, m1, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(flat2, flat1, rtol=2e-3, atol=1e-4)
+
+
+def test_tree_step_fsdp_tp_matches_unsharded():
+    """Tree-state step with fsdp=True composed with TP on a 4x2 mesh
+    (per-leaf mu/nu via fuse_optimizer=False so the moments shard like
+    their parameters) == the unsharded step."""
+    from jax.sharding import PartitionSpec as P
+
+    from mca_tpu.parallel.mesh import replicated
+    from mca_tpu.parallel.sharding import (
+        param_shardings,
+        shard_opt_state,
+        state_shardings,
+    )
+
+    cfg, model, batch = _setup(batch_size=8, fuse_optimizer=False)
+    tx = make_optimizer(cfg, 10)
+    schedule = hf_lr_schedule(
+        cfg.lr_scheduler_type, cfg.lr, cfg.num_warmup_steps, 10
+    )
+    batch_j = jax.tree.map(jnp.asarray, batch)
+    state = init_state(model, tx, batch_j, seed=0)
+    ref_params = jax.tree.map(np.copy, state["params"])
+    step_fn = make_train_step(model, tx, schedule)
+    state1, metrics1 = step_fn(state, batch_j)
+
+    mesh = make_mesh(4, 2)
+    params2 = shard_params(
+        jax.tree.map(jnp.asarray, ref_params), mesh, fsdp=True,
+        fsdp_min_size=0,
+    )
+    # at least one big leaf is sharded on BOTH axes (fsdp x tp)
+    specs = [
+        s.spec
+        for s in jax.tree.leaves(
+            param_shardings(ref_params, mesh, fsdp=True, fsdp_min_size=0)
+        )
+    ]
+    assert any("data" in str(sp) and "model" in str(sp) for sp in specs)
+    assert any(sp == P("data") or "data" in str(sp) for sp in specs)
+    state2 = {
+        "params": params2,
+        "opt_state": shard_opt_state(
+            tx.init(params2), mesh, fsdp=True, fsdp_min_size=0
+        ),
+        "step": jax.device_put(
+            jnp.zeros((), jnp.int32), replicated(mesh)
+        ),
+    }
+    fsdp_step = make_train_step(
+        model,
+        tx,
+        schedule,
+        out_shardings=(state_shardings(state2), replicated(mesh)),
+    )
+    state2, metrics2 = fsdp_step(state2, shard_batch(batch, mesh))
+    np.testing.assert_allclose(
+        float(metrics2["total_loss"]),
+        float(metrics1["total_loss"]),
+        rtol=1e-5,
+    )
+    flat1 = jax.tree.leaves(jax.device_get(state1["params"]))
+    flat2 = jax.tree.leaves(jax.device_get(state2["params"]))
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
+        )
+    # moments stayed sharded after the donated step
+    mu_specs = [
+        x.sharding.spec
+        for x in jax.tree.leaves(state2["opt_state"])
+        if getattr(x, "ndim", 0) >= 2
+    ]
+    assert any("data" in str(sp) for sp in mu_specs)
