@@ -138,6 +138,9 @@ def get_cfg_defaults_train() -> Config:
             "attention_impl": "auto",    # dense | pallas | segmented | auto
             "mesh_data": 0,              # 0 = use all devices on the data axis
             "mesh_model": 1,             # tensor-parallel axis size
+            "mesh_pipe": 1,              # pipeline-parallel stages (GPipe over
+                                         # the layer stack; depth % pipe == 0)
+            "pipeline_microbatches": 0,  # 0 = one per stage
             "fsdp": False,               # ZeRO-style param/optimizer sharding
                                          # over the data axis (for models that
                                          # outgrow one chip's HBM; the 16M-param
@@ -285,6 +288,14 @@ def get_model_config(config: Config) -> Dict[str, Any]:
         "precision": config.get("precision", "bf16"),
         "attention_impl": config.get("attention_impl", "auto"),
         "remat": config.get("remat", False),
+        # pipeline parallelism (MCA-only; train() injects the live
+        # Mesh as 'pipeline_mesh' when mesh_pipe > 1)
+        "pipeline_stages": int(config.get("mesh_pipe", 1) or 1)
+        if int(config.get("mesh_pipe", 1) or 1) > 1
+        else 0,
+        "pipeline_microbatches": int(
+            config.get("pipeline_microbatches", 0) or 0
+        ),
         # EAO-only (build_model filters by dataclass fields); grouping
         # measured slower at canonical scale (PERF.md round 3), so the
         # default is the reference's sequential pass structure

@@ -67,6 +67,14 @@ class MCA(nn.Module):
     attention_impl: str = "dense"
     remat: bool = False
     loss_axis_name: Optional[str] = None
+    # GPipe pipeline parallelism over the layer stack (scaling
+    # headroom beyond the reference's depth regime — see
+    # mca_tpu.parallel.pipeline).  ``pipeline_stages > 1`` requires
+    # ``pipeline_mesh`` with a matching 'pipe' axis and
+    # depth % stages == 0; 0/None disables (sequential stack).
+    pipeline_stages: int = 0
+    pipeline_microbatches: int = 0
+    pipeline_mesh: Optional[Any] = None
 
     def setup(self) -> None:
         # mean pooling collapses ALL fusion tokens into one vector, so
@@ -238,6 +246,62 @@ class MCA(nn.Module):
             out["pool"] = pool_attn
         return out
 
+    def _pipelined_layers(
+        self, x: Array, attn_mask, padding: Array
+    ) -> Array:
+        """The layer stack as a GPipe pipeline over the mesh's 'pipe'
+        axis (``mca_tpu.parallel.pipeline``).
+
+        The parameter TREE is unchanged — each ``layer_i``'s params
+        are stacked to a ``[depth, ...]`` pytree at trace time (the
+        stack is differentiable, so gradients land back on the
+        original leaves), and one layer's ``apply`` runs as a pure
+        function of the per-stage slice.  Init always takes the
+        sequential path, so checkpoints/interop are layout-identical
+        across pipelined and sequential runs.
+        """
+        from mca_tpu.parallel.pipeline import pipeline_layers
+
+        assert self.pipeline_mesh is not None, (
+            "pipeline_stages > 1 needs pipeline_mesh (a Mesh with a "
+            "'pipe' axis)"
+        )
+        stacked = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[
+                self.layers[i].variables["params"]
+                for i in range(self.depth)
+            ],
+        )
+
+        def one_layer(p, x_, pad_):
+            return self.layers[0].apply(
+                {"params": p}, x_, attn_mask, pad_
+            )
+
+        # the scan carry needs one stable dtype; MCALayer's shared
+        # LayerNorm returns fp32, so every layer after the first sees
+        # fp32 inputs in the sequential loop too.  Widening the (bf16)
+        # first input to that dtype is value-exact — the values were
+        # already rounded by _pack_sequence's precision cast.
+        p0 = jax.tree.map(lambda a: a[0], stacked)
+        out_dtype = jax.eval_shape(
+            one_layer, p0, x, padding
+        ).dtype
+        x = x.astype(out_dtype)
+
+        if self.remat:
+            one_layer = jax.checkpoint(one_layer)
+        return pipeline_layers(
+            one_layer,
+            stacked,
+            x,
+            padding,
+            mesh=self.pipeline_mesh,
+            n_stages=int(self.pipeline_stages),
+            n_micro=int(self.pipeline_microbatches or 0),
+        )
+
     def __call__(
         self,
         batch: Dict[str, Dict[str, Array]],
@@ -254,13 +318,19 @@ class MCA(nn.Module):
         # path converts it to a jit constant internally.  It rides in a
         # closure so rematerialisation never traces it.
         attn_mask = self.mask_set.attn_mask
-        def apply_layer(layer, x, padding):
-            return layer(x, attn_mask, padding)
+        if (
+            int(self.pipeline_stages or 0) > 1
+            and not self.is_initializing()
+        ):
+            x = self._pipelined_layers(x, attn_mask, padding)
+        else:
+            def apply_layer(layer, x, padding):
+                return layer(x, attn_mask, padding)
 
-        if self.remat:
-            apply_layer = nn.remat(apply_layer)
-        for layer in self.layers:
-            x = apply_layer(layer, x, padding)
+            if self.remat:
+                apply_layer = nn.remat(apply_layer)
+            for layer in self.layers:
+                x = apply_layer(layer, x, padding)
         x = self.final_norm(x.astype(jnp.float32))
 
         if self.mean_pool:

@@ -486,14 +486,37 @@ def _shard_batch_heads(fn, rule: str, n_repl: int = 0):
             return PartitionSpec(bspec, hspec, None)
         return PartitionSpec(bspec, hspec, None, None)
 
-    def _bh(arg_shapes):
-        spec = arg_shapes[0].sharding.spec
+    def _spec_of(sharding, ndim, mesh):
+        """PartitionSpec of a sharding the partitioner hands us.
+
+        Normally a NamedSharding; inside a ``shard_map`` manual region
+        (e.g. the pipeline-parallel layer stack) the callback receives
+        a GSPMDSharding without ``.spec`` — recover it by parsing the
+        HLO sharding against the mesh, and fall back to replicated
+        (correct, just no batch/head partitioning inside that region)
+        if the parse fails."""
+        spec = getattr(sharding, "spec", None)
+        if spec is not None:
+            return spec
+        try:
+            from jax._src.pxla import parse_flatten_op_sharding
+
+            return parse_flatten_op_sharding(
+                sharding._to_xla_hlo_sharding(ndim), mesh
+            )[0].get_partition_spec()
+        except Exception:
+            return PartitionSpec()
+
+    def _bh(arg_shapes, mesh):
+        spec = _spec_of(
+            arg_shapes[0].sharding, len(arg_shapes[0].shape), mesh
+        )
         b = spec[0] if len(spec) > 0 else None
         h = spec[1] if len(spec) > 1 else None
         return b, h
 
     def _out_shardings(mesh, arg_shapes, result_shape):
-        b, h = _bh(arg_shapes)
+        b, h = _bh(arg_shapes, mesh)
         seq = isinstance(result_shape, (tuple, list))
         results = result_shape if seq else (result_shape,)
         outs = tuple(
@@ -503,7 +526,7 @@ def _shard_batch_heads(fn, rule: str, n_repl: int = 0):
         return outs if seq else outs[0]
 
     def partition(mesh, arg_shapes, result_shape):
-        b, h = _bh(arg_shapes)
+        b, h = _bh(arg_shapes, mesh)
         n_bh = len(arg_shapes) - n_repl
         arg_shardings = tuple(
             NamedSharding(

@@ -28,13 +28,31 @@ def make_mesh(
     model: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
     batch_size: Optional[int] = None,
+    pipe: int = 1,
 ) -> Mesh:
-    """('data', 'model') mesh; ``data=0`` means as many devices as fit.
+    """('data', 'model'[, 'pipe']) mesh; ``data=0`` = as many as fit.
 
     With ``batch_size`` given, the auto data axis is clamped to the
     largest divisor of the batch so small runs shard cleanly.
+    ``pipe > 1`` appends a pipeline axis (GPipe stages over the layer
+    stack, see ``mca_tpu.parallel.pipeline``); the 2-axis shape is
+    kept otherwise so existing specs/tests see an identical mesh.
     """
     devices = list(devices if devices is not None else jax.devices())
+    pipe = max(int(pipe), 1)
+    if pipe > 1:
+        data_ = data if data not in (0, None) else max(
+            len(devices) // (model * pipe), 1
+        )
+        if batch_size is not None and data in (0, None):
+            while batch_size % data_:
+                data_ -= 1
+        n = data_ * model * pipe
+        assert n <= len(devices), (
+            f"mesh {data_}x{model}x{pipe} > {len(devices)} devices"
+        )
+        grid = np.asarray(devices[:n]).reshape(data_, model, pipe)
+        return Mesh(grid, ("data", "model", "pipe"))
     if data in (0, None):
         full_data = max(len(devices) // model, 1)
         data = full_data

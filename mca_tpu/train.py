@@ -776,8 +776,13 @@ def train(config: Config) -> str:
         config.mesh_data,
         config.mesh_model,
         batch_size=config.batch_size,
+        pipe=int(config.get("mesh_pipe", 1) or 1),
     )
     model_config = get_model_config(config)
+    if model_config.get("pipeline_stages", 0):
+        # the model's shard_map needs the live mesh (not JSON-dumped:
+        # dump_model_configs re-derives from the yaml config)
+        model_config = dict(model_config, pipeline_mesh=mesh)
     model = build_model(model_config)
 
     datasets = setup_data(

@@ -45,7 +45,7 @@ def test_dryrun_self_provisions_clean_env():
         cwd=repo,
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=900,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "dryrun_multichip OK" in out.stdout
