@@ -141,6 +141,9 @@ def get_cfg_defaults_train() -> Config:
             "mesh_pipe": 1,              # pipeline-parallel stages (GPipe over
                                          # the layer stack; depth % pipe == 0)
             "pipeline_microbatches": 0,  # 0 = one per stage
+            "seq_shard": False,          # megatron sequence parallelism
+                                         # (activations shard T over the TP
+                                         # axis between blocks)
             "fsdp": False,               # ZeRO-style param/optimizer sharding
                                          # over the data axis (for models that
                                          # outgrow one chip's HBM; the 16M-param
@@ -296,6 +299,9 @@ def get_model_config(config: Config) -> Dict[str, Any]:
         "pipeline_microbatches": int(
             config.get("pipeline_microbatches", 0) or 0
         ),
+        # Megatron sequence parallelism (needs mesh_model > 1;
+        # train() injects the live Mesh as 'seq_shard_mesh')
+        "seq_shard": bool(config.get("seq_shard", False)),
         # EAO-only (build_model filters by dataclass fields); grouping
         # measured slower at canonical scale (PERF.md round 3), so the
         # default is the reference's sequential pass structure

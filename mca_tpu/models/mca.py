@@ -75,6 +75,15 @@ class MCA(nn.Module):
     pipeline_stages: int = 0
     pipeline_microbatches: int = 0
     pipeline_mesh: Optional[Any] = None
+    # Megatron-style sequence parallelism: between blocks the packed
+    # [B, T, D] activations are constrained to shard T over the TP
+    # ('model') axis, so the LayerNorm/residual segments compute on
+    # T/tp tokens per device and the partitioner places the
+    # all-gather at the QKV/FF projections and the reduce-scatter
+    # after them.  Numerically identical; activation-memory headroom
+    # when TP is on.  Requires ``seq_shard_mesh``.
+    seq_shard: bool = False
+    seq_shard_mesh: Optional[Any] = None
 
     def setup(self) -> None:
         # mean pooling collapses ALL fusion tokens into one vector, so
@@ -322,15 +331,38 @@ class MCA(nn.Module):
             int(self.pipeline_stages or 0) > 1
             and not self.is_initializing()
         ):
+            assert not self.seq_shard, (
+                "seq_shard and pipeline_stages are mutually exclusive"
+            )
             x = self._pipelined_layers(x, attn_mask, padding)
         else:
+            seq_constraint = None
+            if self.seq_shard and not self.is_initializing():
+                from jax.sharding import (
+                    NamedSharding,
+                    PartitionSpec as P,
+                )
+
+                assert self.seq_shard_mesh is not None, (
+                    "seq_shard needs seq_shard_mesh (the live Mesh)"
+                )
+                seq_constraint = NamedSharding(
+                    self.seq_shard_mesh, P("data", "model", None)
+                )
+
             def apply_layer(layer, x, padding):
                 return layer(x, attn_mask, padding)
 
             if self.remat:
                 apply_layer = nn.remat(apply_layer)
+            if seq_constraint is not None:
+                x = jax.lax.with_sharding_constraint(x, seq_constraint)
             for layer in self.layers:
                 x = apply_layer(layer, x, padding)
+                if seq_constraint is not None:
+                    x = jax.lax.with_sharding_constraint(
+                        x, seq_constraint
+                    )
         x = self.final_norm(x.astype(jnp.float32))
 
         if self.mean_pool:

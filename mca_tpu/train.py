@@ -783,6 +783,10 @@ def train(config: Config) -> str:
         # the model's shard_map needs the live mesh (not JSON-dumped:
         # dump_model_configs re-derives from the yaml config)
         model_config = dict(model_config, pipeline_mesh=mesh)
+    if model_config.get("seq_shard") and mesh.shape["model"] > 1:
+        model_config = dict(model_config, seq_shard_mesh=mesh)
+    else:
+        model_config = dict(model_config, seq_shard=False)
     model = build_model(model_config)
 
     datasets = setup_data(

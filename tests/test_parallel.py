@@ -519,3 +519,50 @@ def test_tree_step_fsdp_tp_matches_unsharded():
         if getattr(x, "ndim", 0) >= 2
     ]
     assert any("data" in str(sp) for sp in mu_specs)
+
+
+def test_seq_shard_matches_unsharded():
+    """Megatron sequence parallelism (activations constrained to shard
+    T over the TP axis between blocks) is numerically transparent: the
+    DPxTP train step with seq_shard equals the unsharded step."""
+    cfg, model, batch = _setup(batch_size=8)
+    tx = make_optimizer(cfg, 10)
+    schedule = hf_lr_schedule(
+        cfg.lr_scheduler_type, cfg.lr, cfg.num_warmup_steps, 10
+    )
+    batch_j = jax.tree.map(jnp.asarray, batch)
+    state = init_state(model, tx, batch_j, seed=0)
+    ref_params = jax.tree.map(np.copy, state["params"])
+    state1, metrics1 = make_train_step(model, tx, schedule)(
+        state, batch_j
+    )
+
+    mesh = make_mesh(4, 2)
+    mc = get_model_config(cfg)
+    sp_model = build_model(
+        dict(mc, seq_shard=True, seq_shard_mesh=mesh)
+    )
+    state2 = {
+        "params": shard_params(
+            jax.tree.map(jnp.asarray, ref_params), mesh
+        ),
+        "opt_state": tx.init(
+            shard_params(jax.tree.map(jnp.asarray, ref_params), mesh)
+        ),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    state2, metrics2 = make_train_step(sp_model, tx, schedule)(
+        state2, shard_batch(batch, mesh)
+    )
+    np.testing.assert_allclose(
+        float(metrics2["total_loss"]),
+        float(metrics1["total_loss"]),
+        rtol=1e-5,
+    )
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(state1["params"])),
+        jax.tree.leaves(jax.device_get(state2["params"])),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
+        )
