@@ -1,0 +1,363 @@
+"""Online embedding serving — the deployment path the reference lacks.
+
+The reference stops at OFFLINE batch inference (`infer_accel_gpu.py`
+writes `.pt` embedding files); this module serves the same per-sample
+embeddings (modalities + fusion combos, plus presence masks) ONLINE:
+
+- **one fixed-shape compiled executable**: requests are padded to
+  ``max_batch`` so every call hits the same jit cache entry — no
+  recompiles, no dynamic shapes (the TPU contract).  Embeddings are
+  per-sample (encoders, masked attention, pooling never mix samples),
+  so padding rows is numerically invisible; ``no_loss=True`` skips the
+  batch-coupled contrastive graph entirely.
+- **dynamic micro-batching**: concurrent single-row requests queue and
+  a batcher thread coalesces up to ``max_batch`` rows (or
+  ``max_wait_ms``) into one device call — the standard accelerator
+  serving pattern (one big launch beats N tiny ones, PERF.md).
+- **packed outputs**: one ``[E, B, D]`` embedding stack + one
+  ``[M, B]`` mask stack per call (per-key outputs would pay ~80
+  per-launch buffer costs on remote-attached chips, see
+  ``mca_tpu.infer``).
+- stdlib HTTP front (``POST /embed``, ``GET /healthz``) — zero extra
+  dependencies; the service class is also directly embeddable.
+
+Usage::
+
+    python -m mca_tpu.serve config.yaml --restart out/3 --port 8777
+    curl -X POST :8777/embed -d '{"rows": [{"gene": {"values": [...]}, ...}]}'
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mca_tpu.config import get_model_config
+from mca_tpu.data.collators import MultimodalCollator
+from mca_tpu.models import build_model
+
+logger = logging.getLogger(__name__)
+
+
+class EmbeddingService:
+    """Compiled fixed-shape embedding forward + micro-batching.
+
+    ``params`` may be passed directly (tests / already-loaded weights)
+    or restored from ``restart`` (a train-state epoch dir or a final
+    model dir, both reference layouts — see
+    ``mca_tpu.infer._restore_params``).
+    """
+
+    def __init__(
+        self,
+        config,
+        params: Any = None,
+        restart: Optional[str] = None,
+        max_batch: int = 8,
+        max_wait_ms: float = 5.0,
+    ):
+        self.config = config
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        mc = get_model_config(config)
+        self.model = build_model(mc)
+        self.collate = MultimodalCollator(
+            config.modality_config.to_plain()
+            if hasattr(config.modality_config, "to_plain")
+            else dict(config.modality_config)
+        )
+        self._template = self._zero_row(config)
+        batch0 = self._pad([self._template])
+        if params is None:
+            params = jax.jit(self.model.init)(
+                jax.random.key(0), batch0
+            )
+            if restart:
+                from mca_tpu.infer import _restore_params
+
+                params = _restore_params(restart, params)
+        self.params = params
+
+        shapes = jax.eval_shape(
+            lambda p, b: self.model.apply(p, b, no_loss=True),
+            self.params,
+            batch0,
+        )
+        self.mask_keys = tuple(sorted(shapes["modality_sample_mask"]))
+        self.emb_keys = tuple(
+            sorted(k for k in shapes if k != "modality_sample_mask")
+        )
+
+        def packed(params, batch):
+            out = self.model.apply(params, batch, no_loss=True)
+            emb = jnp.stack([out[k] for k in self.emb_keys])
+            msk = jnp.stack(
+                [out["modality_sample_mask"][k] for k in self.mask_keys]
+            )
+            return emb, msk
+
+        self._fn = jax.jit(packed)
+        # warm the cache so the first request doesn't pay the compile
+        e, m = self._fn(self.params, batch0)
+        jax.block_until_ready((e, m))
+        self._queue: "queue.Queue" = queue.Queue()
+        self._batcher: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+    # -- request paths -------------------------------------------------
+
+    def _zero_row(self, config) -> Dict[str, Any]:
+        """A syntactically valid all-pad row (shape template for
+        warmup and batch padding)."""
+        row: Dict[str, Any] = {}
+        mods = (
+            config.modality_config.to_plain()
+            if hasattr(config.modality_config, "to_plain")
+            else dict(config.modality_config)
+        )
+        for m, c in mods.items():
+            field = c.get("data_col_name", "values")
+            pad = float(c.get("pad_token", -10000.0))
+            typ = c.get("type")
+            if typ in ("matrix", "embedded_sequence"):
+                # trailing width: explicit in the config when present,
+                # else 1 (the collators widen to the widest REAL row,
+                # so a narrow template never distorts a mixed batch).
+                # embedded_sequence has an explicit attention_mask, so
+                # the template carries finite zeros, not the sentinel.
+                width = int(
+                    c.get("embedding_size")
+                    or c.get("input_size")
+                    or c.get("width")
+                    or 1
+                )
+                fill = 0.0 if typ == "embedded_sequence" else pad
+                row[m] = {
+                    field: np.full(
+                        (int(c["pad_len"]), width), fill, np.float32
+                    )
+                }
+            else:
+                row[m] = {
+                    field: np.full(
+                        int(c["pad_len"]), pad, np.float32
+                    )
+                }
+        return row
+
+    def _pad(self, rows: Sequence[Dict[str, Any]]):
+        """Collate ``rows`` padded to ``max_batch`` with template rows
+        (per-sample model: pad rows never affect real rows)."""
+        assert 0 < len(rows) <= self.max_batch, len(rows)
+        full = list(rows) + [self._template] * (
+            self.max_batch - len(rows)
+        )
+        batch = self.collate(full)
+        return jax.tree.map(jnp.asarray, batch)
+
+    def embed(self, rows: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+        """Synchronous: embeddings + presence masks for ``rows``.
+
+        Rows larger than ``max_batch`` are processed in chunks."""
+        rows = list(rows)
+        embs: List[np.ndarray] = []
+        msks: List[np.ndarray] = []
+        for i in range(0, len(rows), self.max_batch):
+            chunk = rows[i : i + self.max_batch]
+            e, m = self._fn(self.params, self._pad(chunk))
+            embs.append(np.asarray(e)[:, : len(chunk)])
+            msks.append(np.asarray(m)[:, : len(chunk)])
+        emb = np.concatenate(embs, axis=1)
+        msk = np.concatenate(msks, axis=1)
+        return {
+            "embeddings": {
+                k: emb[i] for i, k in enumerate(self.emb_keys)
+            },
+            "present": {
+                k: msk[i].astype(bool)
+                for i, k in enumerate(self.mask_keys)
+            },
+        }
+
+    # -- micro-batching ------------------------------------------------
+
+    def start(self) -> None:
+        """Start the batcher thread (needed only for :meth:`submit`)."""
+        if self._batcher is None:
+            self._stop.clear()
+            self._batcher = threading.Thread(
+                target=self._batch_loop, daemon=True
+            )
+            self._batcher.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._batcher is not None:
+            self._batcher.join(timeout=5)
+            self._batcher = None
+
+    def submit(self, row: Dict[str, Any]) -> "Future":
+        """Async single-row request; coalesced with concurrent
+        requests into one device call by the batcher thread."""
+        assert self._batcher is not None, "call start() first"
+        fut: Future = Future()
+        self._queue.put((row, fut))
+        return fut
+
+    def _batch_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            pending = [first]
+            deadline = (
+                threading.TIMEOUT_MAX
+                if self.max_wait_s <= 0
+                else self.max_wait_s
+            )
+            import time as _time
+
+            t0 = _time.monotonic()
+            while len(pending) < self.max_batch:
+                left = deadline - (_time.monotonic() - t0)
+                if left <= 0:
+                    break
+                try:
+                    pending.append(self._queue.get(timeout=left))
+                except queue.Empty:
+                    break
+            rows = [r for r, _ in pending]
+            try:
+                out = self.embed(rows)
+                for i, (_, fut) in enumerate(pending):
+                    fut.set_result(
+                        {
+                            "embeddings": {
+                                k: v[i]
+                                for k, v in out["embeddings"].items()
+                            },
+                            "present": {
+                                k: bool(v[i])
+                                for k, v in out["present"].items()
+                            },
+                        }
+                    )
+            except Exception as e:  # pragma: no cover
+                for _, fut in pending:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+
+# ---------------------------------------------------------------------------
+# HTTP front (stdlib only)
+# ---------------------------------------------------------------------------
+
+
+def make_server(service: EmbeddingService, port: int = 0):
+    """ThreadingHTTPServer with POST /embed + GET /healthz."""
+    from http.server import (
+        BaseHTTPRequestHandler,
+        ThreadingHTTPServer,
+    )
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            logger.debug(fmt, *args)
+
+        def _send(self, code: int, payload: Dict[str, Any]) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(
+                    200,
+                    {
+                        "ok": True,
+                        "max_batch": service.max_batch,
+                        "embedding_keys": list(service.emb_keys),
+                    },
+                )
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/embed":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                rows = req["rows"]
+                futs = [service.submit(row) for row in rows]
+                results = [f.result(timeout=60) for f in futs]
+                self._send(
+                    200,
+                    {
+                        "embeddings": [
+                            {
+                                k: np.asarray(v).tolist()
+                                for k, v in r["embeddings"].items()
+                            }
+                            for r in results
+                        ],
+                        "present": [r["present"] for r in results],
+                    },
+                )
+            except Exception as e:
+                self._send(400, {"error": repr(e)})
+
+    service.start()
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
+def main(argv=None) -> None:
+    import argparse
+    import sys
+
+    from mca_tpu.config import training_config
+
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("config")
+    p.add_argument("--restart", default=None, help="checkpoint dir")
+    p.add_argument("--port", type=int, default=8777)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-wait-ms", type=float, default=5.0)
+    args = p.parse_args(argv if argv is not None else sys.argv[1:])
+    config = training_config(args.config)
+    svc = EmbeddingService(
+        config,
+        restart=args.restart or (config.restart or None),
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+    )
+    server = make_server(svc, args.port)
+    logger.info(
+        "serving embeddings on :%d (keys: %s)",
+        server.server_address[1],
+        ",".join(svc.emb_keys),
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        svc.stop()
+
+
+if __name__ == "__main__":
+    main()
