@@ -43,6 +43,35 @@ def main() -> None:
     )
     import __graft_entry__ as ge
 
+    # the remote TPU backend blocks INDEFINITELY in a connect-retry
+    # loop when the tunnel is down (observed round 3) — probe in a
+    # bounded subprocess first, re-probing for a while (outages have
+    # been transient), and emit an honest zero-valued JSON line rather
+    # than hanging the driver if the accelerator never appears
+    wait_s = float(os.environ.get("BENCH_DEVICE_WAIT_S", "900"))
+    deadline = time.time() + wait_s
+    n_dev = ge._probed_device_count()
+    while n_dev == 0 and time.time() < deadline:
+        time.sleep(30)
+        n_dev = ge._probed_device_count()
+    if n_dev == 0:
+        print(
+            json.dumps(
+                {
+                    "metric": "mca_tcga_pretrain_throughput",
+                    "value": 0.0,
+                    "unit": "tokens/sec/chip",
+                    "vs_baseline": 0.0,
+                    "error": (
+                        "accelerator unreachable (remote TPU tunnel "
+                        f"down) after {int(wait_s)}s of bounded "
+                        "probes; see BENCH history for real numbers"
+                    ),
+                }
+            )
+        )
+        return
+
     dataset = os.environ.get("BENCH_DATASET", "tcga")
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
     overrides = {"batch_size": batch_size}
