@@ -271,10 +271,6 @@ class MCA(nn.Module):
         """
         from mca_tpu.parallel.pipeline import pipeline_layers
 
-        assert self.pipeline_mesh is not None, (
-            "pipeline_stages > 1 needs pipeline_mesh (a Mesh with a "
-            "'pipe' axis)"
-        )
         stacked = jax.tree.map(
             lambda *xs: jnp.stack(xs),
             *[
@@ -327,8 +323,15 @@ class MCA(nn.Module):
         # path converts it to a jit constant internally.  It rides in a
         # closure so rematerialisation never traces it.
         attn_mask = self.mask_set.attn_mask
+        # pipeline/seq-shard are EXECUTION strategies, engaged only
+        # when the caller provided the live mesh (train() injects it).
+        # Consumers that never see a mesh — infer, serve, AOT export,
+        # attention_maps — fall back to the numerically identical
+        # sequential stack instead of crashing on a train-oriented
+        # config key.
         if (
             int(self.pipeline_stages or 0) > 1
+            and self.pipeline_mesh is not None
             and not self.is_initializing()
         ):
             assert not self.seq_shard, (
@@ -337,15 +340,16 @@ class MCA(nn.Module):
             x = self._pipelined_layers(x, attn_mask, padding)
         else:
             seq_constraint = None
-            if self.seq_shard and not self.is_initializing():
+            if (
+                self.seq_shard
+                and self.seq_shard_mesh is not None
+                and not self.is_initializing()
+            ):
                 from jax.sharding import (
                     NamedSharding,
                     PartitionSpec as P,
                 )
 
-                assert self.seq_shard_mesh is not None, (
-                    "seq_shard needs seq_shard_mesh (the live Mesh)"
-                )
                 seq_constraint = NamedSharding(
                     self.seq_shard_mesh, P("data", "model", None)
                 )

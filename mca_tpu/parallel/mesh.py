@@ -51,6 +51,16 @@ def make_mesh(
         assert n <= len(devices), (
             f"mesh {data_}x{model}x{pipe} > {len(devices)} devices"
         )
+        if n < len(devices):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "mesh %dx%dx%d on %d devices — %d devices idle "
+                "(devices not divisible by model*pipe, or batch %s "
+                "not divisible by the full data axis)",
+                data_, model, pipe, len(devices), len(devices) - n,
+                batch_size,
+            )
         grid = np.asarray(devices[:n]).reshape(data_, model, pipe)
         return Mesh(grid, ("data", "model", "pipe"))
     if data in (0, None):

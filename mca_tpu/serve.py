@@ -63,6 +63,7 @@ class EmbeddingService:
         restart: Optional[str] = None,
         max_batch: int = 8,
         max_wait_ms: float = 5.0,
+        warmup: bool = True,
     ):
         self.config = config
         self.max_batch = int(max_batch)
@@ -105,9 +106,12 @@ class EmbeddingService:
             return emb, msk
 
         self._fn = jax.jit(packed)
-        # warm the cache so the first request doesn't pay the compile
-        e, m = self._fn(self.params, batch0)
-        jax.block_until_ready((e, m))
+        if warmup:
+            # warm the cache so the first request doesn't pay the
+            # compile (skip when the caller only wants params/collate,
+            # e.g. the AOT exporter)
+            e, m = self._fn(self.params, batch0)
+            jax.block_until_ready((e, m))
         self._queue: "queue.Queue" = queue.Queue()
         self._batcher: Optional[threading.Thread] = None
         self._stop = threading.Event()
@@ -203,6 +207,17 @@ class EmbeddingService:
         if self._batcher is not None:
             self._batcher.join(timeout=5)
             self._batcher = None
+        # fail (not strand) anything still queued, so callers blocked
+        # in fut.result() error immediately instead of timing out
+        while True:
+            try:
+                _, fut = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(
+                    RuntimeError("EmbeddingService stopped")
+                )
 
     def submit(self, row: Dict[str, Any]) -> "Future":
         """Async single-row request; coalesced with concurrent
@@ -213,24 +228,25 @@ class EmbeddingService:
         return fut
 
     def _batch_loop(self) -> None:
+        import time as _time
+
         while not self._stop.is_set():
             try:
                 first = self._queue.get(timeout=0.1)
             except queue.Empty:
                 continue
             pending = [first]
-            deadline = (
-                threading.TIMEOUT_MAX
-                if self.max_wait_s <= 0
-                else self.max_wait_s
-            )
-            import time as _time
-
+            # max_wait_ms <= 0 means NO coalescing wait: dispatch
+            # whatever is already queued immediately
             t0 = _time.monotonic()
             while len(pending) < self.max_batch:
-                left = deadline - (_time.monotonic() - t0)
+                left = self.max_wait_s - (_time.monotonic() - t0)
                 if left <= 0:
-                    break
+                    try:
+                        pending.append(self._queue.get_nowait())
+                        continue
+                    except queue.Empty:
+                        break
                 try:
                     pending.append(self._queue.get(timeout=left))
                 except queue.Empty:
@@ -337,11 +353,21 @@ def main(argv=None) -> None:
     p.add_argument("--port", type=int, default=8777)
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument(
+        "--allow-random-weights",
+        action="store_true",
+        help="serve from freshly initialized parameters (demo only)",
+    )
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
     config = training_config(args.config)
+    restart = args.restart or (config.restart or None)
+    assert restart or args.allow_random_weights, (
+        "no checkpoint: pass --restart <dir> (or restart: in the "
+        "config), or --allow-random-weights for a demo server"
+    )
     svc = EmbeddingService(
         config,
-        restart=args.restart or (config.restart or None),
+        restart=restart,
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
     )

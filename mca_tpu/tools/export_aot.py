@@ -34,20 +34,22 @@ _MAGIC = b"MCAAOT1\n"
 
 
 def export_packed_forward(
-    config, params: Any, batch: Any
+    config, params: Any, batch: Any, model: Any = None
 ) -> Tuple[bytes, Tuple[str, ...], Tuple[str, ...]]:
     """Serialized StableHLO of the packed embedding forward.
 
     ``batch`` fixes the compiled shapes (pad requests to this batch at
     serving time, exactly like :class:`mca_tpu.serve.EmbeddingService`).
-    Weights are closed over — the artifact is self-contained.
+    Weights are closed over — the artifact is self-contained.  Pass an
+    already-built ``model`` to skip rebuilding it from the config.
     """
     from jax import export as jexport
 
-    from mca_tpu.config import get_model_config
-    from mca_tpu.models import build_model
+    if model is None:
+        from mca_tpu.config import get_model_config
+        from mca_tpu.models import build_model
 
-    model = build_model(get_model_config(config))
+        model = build_model(get_model_config(config))
     shapes = jax.eval_shape(
         lambda p, b: model.apply(p, b, no_loss=True), params, batch
     )
@@ -124,10 +126,11 @@ def main(argv=None) -> None:
         config,
         restart=args.restart or (config.restart or None),
         max_batch=args.batch,
+        warmup=False,  # the exporter lowers its own executable
     )
     batch = svc._pad([svc._template] * args.batch)
     blob, emb_keys, mask_keys = export_packed_forward(
-        config, svc.params, batch
+        config, svc.params, batch, model=svc.model
     )
     save_aot(args.out, blob, emb_keys, mask_keys)
     logger.info(

@@ -139,7 +139,15 @@ def make_optimizer(
         )
     )
     inner = optax.chain(*chain)
-    if config.get("fuse_optimizer", True):
+    # flattening folds the moments into ONE raveled vector whose length
+    # is rarely divisible by the data axis — under fsdp that would
+    # silently leave the moments fully replicated (no ZeRO memory win),
+    # so fsdp keeps per-leaf moments, which shard like their parameters.
+    # (The flat-state fast path has its own padded flat optimizer,
+    # make_flat_apparatus, and never uses this tree tx for stepping.)
+    if config.get("fuse_optimizer", True) and not config.get(
+        "fsdp", False
+    ):
         # one AdamW over a single flat vector instead of ~90 leaves:
         # per-leaf kernel launches dominate the update on this backend
         # (identical math — ravel/unravel are two contiguous copies)
@@ -910,8 +918,21 @@ def train(config: Config) -> str:
         and bool(config.get("flat_state", True))
         and int(config.mesh_model) <= 1
     )
+    step_out_shardings = None
+    if use_fsdp and not flat_mode:
+        from mca_tpu.parallel.mesh import replicated
+        from mca_tpu.parallel.sharding import state_shardings
+
+        step_out_shardings = (
+            state_shardings(state),
+            replicated(mesh),  # prefix: every metric replicated
+        )
     train_step = make_train_step(
-        model, tx, schedule, dropout_seed=config.seed
+        model,
+        tx,
+        schedule,
+        dropout_seed=config.seed,
+        out_shardings=step_out_shardings,
     )
     metric_names = step_metric_names(
         model, tx, schedule, state, first_batch
@@ -922,23 +943,6 @@ def train(config: Config) -> str:
         model, model_config, state["params"], first_batch
     )
     unravel = None
-    step_out_shardings = None
-    if use_fsdp:
-        from mca_tpu.parallel.mesh import replicated
-        from mca_tpu.parallel.sharding import state_shardings
-
-        if not flat_mode:
-            step_out_shardings = (
-                state_shardings(state),
-                replicated(mesh),  # prefix: every metric replicated
-            )
-        train_step = make_train_step(
-            model,
-            tx,
-            schedule,
-            dropout_seed=config.seed,
-            out_shardings=step_out_shardings,
-        )
     if flat_mode:
         flat0, unravel, flat_tx = make_flat_apparatus(
             config,

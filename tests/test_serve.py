@@ -154,3 +154,62 @@ def test_aot_export_roundtrip(service_and_oracle, tmp_path):
             np.asarray(msk)[i],
             np.asarray(oracle["modality_sample_mask"][k])[:4],
         )
+
+
+def test_parallel_config_keys_degrade_without_mesh():
+    """seq_shard/mesh_pipe are train-time execution strategies — model
+    consumers that never inject a mesh (infer/serve/export) must fall
+    back to the sequential stack, not crash."""
+    cfg = training_config_from_dict(
+        tiny_config("tcga", batch_size=4, seq_shard=True, mesh_pipe=2)
+    )
+    mc = get_model_config(cfg)
+    assert mc["seq_shard"] and mc["pipeline_stages"] == 2
+    model = build_model(mc)  # no seq_shard_mesh / pipeline_mesh
+    widths = {m: c["pad_len"] for m, c in cfg.modality_config.items()}
+    rows = make_tcga_like(4, widths=widths, seed=0)
+    batch = jax.tree.map(
+        jnp.asarray, MultimodalCollator(cfg.modality_config.to_plain())(rows)
+    )
+    params = jax.jit(model.init)(jax.random.key(0), batch)
+    out = model.apply(params, batch)
+    assert np.isfinite(float(out["loss"]))
+    # and the serving path on the same config
+    svc = EmbeddingService(cfg, params=params, max_batch=4)
+    res = svc.embed(rows[:2])
+    assert np.isfinite(res["embeddings"]["fusion"]).all()
+
+
+def test_zero_wait_dispatches_immediately(service_and_oracle):
+    """max_wait_ms=0 must not wait for a full batch."""
+    import time
+
+    svc, oracle, rows = service_and_oracle
+    svc.max_wait_s = 0.0
+    svc.start()
+    try:
+        t0 = time.monotonic()
+        fut = svc.submit(rows[0])
+        res = fut.result(timeout=30)
+        assert time.monotonic() - t0 < 10
+        np.testing.assert_allclose(
+            res["embeddings"]["fusion"],
+            np.asarray(oracle["fusion"])[0],
+            rtol=1e-5,
+            atol=1e-6,
+        )
+    finally:
+        svc.stop()
+        svc.max_wait_s = 5e-3
+
+
+def test_stop_fails_stranded_requests(service_and_oracle):
+    """Requests still queued at stop() get an exception, not a hang."""
+    svc, oracle, rows = service_and_oracle
+    from concurrent.futures import Future
+
+    fut = Future()
+    svc._queue.put((rows[0], fut))  # no batcher running
+    svc.stop()
+    with pytest.raises(Exception):
+        fut.result(timeout=5)
