@@ -218,3 +218,73 @@ def test_mca_pipelined_pallas_bf16():
         )
     )
     np.testing.assert_allclose(loss_pipe, loss_seq, rtol=2e-3)
+
+
+def test_mca_pipelined_with_fsdp_params():
+    """PP x FSDP (the standard at-scale combo): parameters ZeRO-sharded
+    over 'data' while the layer stack runs pipelined over 'pipe' — the
+    stacked per-layer params enter the shard_map replicated-over-pipe
+    but keep their data-axis sharding with the partitioner.  One full
+    train step == the sequential unsharded step."""
+    from mca_tpu.parallel.sharding import (
+        shard_opt_state,
+        shard_params,
+        state_shardings,
+    )
+    from mca_tpu.parallel.mesh import replicated
+    from mca_tpu.train import (
+        hf_lr_schedule,
+        init_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg, batch = _mca_setup(
+        batch_size=8, precision="fp32", attention_impl="dense",
+        fsdp=True,
+    )
+    batch_j = jax.tree.map(jnp.asarray, batch)
+    mc = get_model_config(cfg)
+    tx = make_optimizer(cfg, 10)
+    schedule = hf_lr_schedule(
+        cfg.lr_scheduler_type, cfg.lr, cfg.num_warmup_steps, 10
+    )
+    seq_model = build_model(mc)
+    state = init_state(seq_model, tx, batch_j, seed=0)
+    ref_params = jax.tree.map(np.copy, state["params"])
+    s1, m1 = make_train_step(seq_model, tx, schedule)(state, batch_j)
+
+    mesh = make_mesh(2, 1, pipe=2)
+    pipe_model = build_model(
+        dict(mc, pipeline_stages=2, pipeline_mesh=mesh)
+    )
+    params2 = shard_params(
+        jax.tree.map(jnp.asarray, ref_params), mesh, fsdp=True,
+        fsdp_min_size=0,
+    )
+    state2 = {
+        "params": params2,
+        "opt_state": shard_opt_state(
+            tx.init(params2), mesh, fsdp=True, fsdp_min_size=0
+        ),
+        "step": jax.device_put(
+            jnp.zeros((), jnp.int32), replicated(mesh)
+        ),
+    }
+    step = make_train_step(
+        pipe_model,
+        tx,
+        schedule,
+        out_shardings=(state_shardings(state2), replicated(mesh)),
+    )
+    state2, m2 = step(state2, shard_batch(batch, mesh))
+    np.testing.assert_allclose(
+        float(m2["total_loss"]), float(m1["total_loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(s1["params"])),
+        jax.tree.leaves(jax.device_get(state2["params"])),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
+        )
