@@ -148,6 +148,12 @@ def get_cfg_defaults_train() -> Config:
                                          # over the data axis (for models that
                                          # outgrow one chip's HBM; the 16M-param
                                          # reference is faster replicated)
+            "grad_accum": 1,             # gradient-accumulation microbatches
+                                         # per optimiser step (must divide
+                                         # batch_size; each microbatch computes
+                                         # its own contrastive loss — DDP-rank
+                                         # semantics — and activations peak at
+                                         # one microbatch)
             "log_every": 1,              # JSONL log cadence (steps)
             "steps_per_call": 0,         # optimiser steps per launch (0 = auto)
             "checkpoint_keep": 0,        # 0 = keep all epoch checkpoints

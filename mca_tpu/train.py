@@ -323,7 +323,7 @@ def _upcast_staged(batch):
     )
 
 
-def _train_apply(model, params, batch, step, dropout_seed):
+def _train_apply(model, params, batch, step, dropout_seed, micro=None):
     """Train-mode forward: ``deterministic=False`` with a per-step
     dropout RNG, matching the reference's ``model.train()`` semantics
     (ref train_accel_gpu.py trains in train mode, so any configured
@@ -331,8 +331,12 @@ def _train_apply(model, params, batch, step, dropout_seed):
     encoders.py:266-271 — is live).  Encoders with ``dropout == 0``
     never construct a Dropout module, so canonical TCGA/CMU numerics
     are unchanged.  The key is folded with the step counter for
-    reproducibility across restarts."""
+    reproducibility across restarts.  ``micro`` (grad-accumulation
+    microbatch index) is folded in additionally when given, so the
+    ``grad_accum == 1`` RNG stream is unchanged."""
     rng = jax.random.fold_in(jax.random.key(dropout_seed), step)
+    if micro is not None:
+        rng = jax.random.fold_in(rng, micro)
     return model.apply(
         params,
         _upcast_staged(batch),
@@ -341,17 +345,89 @@ def _train_apply(model, params, batch, step, dropout_seed):
     )
 
 
-def _step_body(model, tx, schedule, state, batch, dropout_seed=0):
-    """grads + update + metric scalars for one batch."""
+def _scalar_losses(out):
+    """The per-step scalar metrics drawn from a model output: the total
+    loss, the per-pair losses without a '|' in the key (the reference's
+    logging filter, train_accel_gpu.py:127), and the fcl aggregates."""
+    scal = {"total_loss": out["loss"]}
+    for k, v in out["losses"].items():
+        if "|" not in k:
+            scal[k] = v
+    for k in ("fcl_loss", "no-fcl_loss"):
+        if k in out:
+            scal[k] = out[k]
+    return scal
 
-    def loss_fn(params):
+
+def _accum_grads(
+    model, param_view, params, batch, step, dropout_seed, n_accum
+):
+    """(mean scalar metrics, mean gradient) over ``n_accum``
+    microbatches at FIXED ``params``.
+
+    ``n_accum == 1`` is the plain single-pass value_and_grad.  For
+    ``n_accum > 1`` the batch's leading axis is reshaped to
+    ``[n_accum, B/n_accum]`` (contiguous row chunks) and a
+    ``lax.scan`` accumulates a running gradient sum — peak activation
+    memory is that of ONE microbatch, which is the point of the
+    feature.  Loss semantics: the contrastive loss is batch-global, so
+    each microbatch computes its own BxB/n logit matrix — exactly the
+    semantics of the reference's DDP ranks without a global gather
+    (ref utils/distributed.py gather modes; gather LOCAL/NONE), not a
+    re-association of the full-batch loss.  ``param_view`` maps
+    optimizer-space parameters to the model's tree (identity for the
+    tree path, ``unravel`` for the flat-vector path)."""
+
+    def loss_fn(p, b, i):
         out = _train_apply(
-            model, params, batch, state["step"], dropout_seed
+            model, param_view(p), b, step, dropout_seed, micro=i
         )
-        return out["loss"], out
+        return out["loss"], _scalar_losses(out)
 
-    (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state["params"]
+    vg = jax.value_and_grad(loss_fn, has_aux=True)
+    if n_accum <= 1:
+        (_, scal), grads = vg(params, batch, None)
+        return scal, grads
+    micro = jax.tree.map(
+        lambda x: x.reshape(
+            (n_accum, x.shape[0] // n_accum) + x.shape[1:]
+        ),
+        batch,
+    )
+    mb0 = jax.tree.map(lambda x: x[0], micro)
+    (_, scal_s), g_s = jax.eval_shape(vg, params, mb0, 0)
+    zeros = lambda tree: jax.tree.map(  # noqa: E731
+        lambda s: jnp.zeros(s.shape, s.dtype), tree
+    )
+
+    def body(carry, xs):
+        mb, i = xs
+        (_, scal), g = vg(params, mb, i)
+        return (
+            jax.tree.map(jnp.add, carry[0], scal),
+            jax.tree.map(jnp.add, carry[1], g),
+        ), None
+
+    (scal_sum, g_sum), _ = jax.lax.scan(
+        body, (zeros(scal_s), zeros(g_s)), (micro, jnp.arange(n_accum))
+    )
+    inv = 1.0 / n_accum
+    return (
+        jax.tree.map(lambda x: (x * inv).astype(x.dtype), scal_sum),
+        jax.tree.map(lambda x: (x * inv).astype(x.dtype), g_sum),
+    )
+
+
+def _step_body(model, tx, schedule, state, batch, dropout_seed=0, n_accum=1):
+    """grads + update + metric scalars for one batch."""
+    scal, grads = _accum_grads(
+        model,
+        lambda p: p,
+        state["params"],
+        batch,
+        state["step"],
+        dropout_seed,
+        n_accum,
     )
     updates, opt_state = tx.update(
         grads, state["opt_state"], state["params"]
@@ -363,23 +439,17 @@ def _step_body(model, tx, schedule, state, batch, dropout_seed=0):
         "step": state["step"] + 1,
     }
     metrics = {
-        "total_loss": loss,
         "param_norm": global_norm(params),
         "grad_norm": global_norm(grads),
         "lr": schedule(state["step"]),
+        **scal,
     }
-    # per-pair logs, reference filters keys containing '|'
-    # (train_accel_gpu.py:127)
-    for k, v in out["losses"].items():
-        if "|" not in k:
-            metrics[k] = v
-    for k in ("fcl_loss", "no-fcl_loss"):
-        if k in out:
-            metrics[k] = out[k]
     return new_state, metrics
 
 
-def make_train_step(model, tx, schedule, dropout_seed=0, out_shardings=None):
+def make_train_step(
+    model, tx, schedule, dropout_seed=0, out_shardings=None, n_accum=1
+):
     """One jit-compiled step (single batch).
 
     ``out_shardings=(state_shardings, metrics_sharding)`` pins the
@@ -390,7 +460,7 @@ def make_train_step(model, tx, schedule, dropout_seed=0, out_shardings=None):
     @partial(jax.jit, donate_argnums=0, out_shardings=out_shardings)
     def train_step(state, batch):
         return _step_body(
-            model, tx, schedule, state, batch, dropout_seed
+            model, tx, schedule, state, batch, dropout_seed, n_accum
         )
 
     return train_step
@@ -407,7 +477,13 @@ def step_metric_names(model, tx, schedule, state, batch):
 
 
 def make_train_step_scan(
-    model, tx, schedule, metric_names, dropout_seed=0, out_shardings=None
+    model,
+    tx,
+    schedule,
+    metric_names,
+    dropout_seed=0,
+    out_shardings=None,
+    n_accum=1,
 ):
     """K optimiser steps per executable launch.
 
@@ -424,7 +500,7 @@ def make_train_step_scan(
     def train_steps(state, batches):
         def body(st, batch):
             ns, metrics = _step_body(
-                model, tx, schedule, st, batch, dropout_seed
+                model, tx, schedule, st, batch, dropout_seed, n_accum
             )
             packed = jnp.stack(
                 [
@@ -538,16 +614,16 @@ def make_flat_apparatus(
 
 
 def _flat_step_body(
-    model, tx, schedule, unravel, state, batch, dropout_seed=0
+    model, tx, schedule, unravel, state, batch, dropout_seed=0, n_accum=1
 ):
-    def loss_fn(flat):
-        out = _train_apply(
-            model, unravel(flat), batch, state["step"], dropout_seed
-        )
-        return out["loss"], out
-
-    (loss, out), gflat = jax.value_and_grad(loss_fn, has_aux=True)(
-        state["flat"]
+    scal, gflat = _accum_grads(
+        model,
+        unravel,
+        state["flat"],
+        batch,
+        state["step"],
+        dropout_seed,
+        n_accum,
     )
     updates, opt_state = tx.update(
         gflat, state["opt_state"], state["flat"]
@@ -559,17 +635,11 @@ def _flat_step_body(
         "step": state["step"] + 1,
     }
     metrics = {
-        "total_loss": loss,
         "param_norm": jnp.linalg.norm(flat),
         "grad_norm": jnp.linalg.norm(gflat),
         "lr": schedule(state["step"]),
+        **scal,
     }
-    for k, v in out["losses"].items():
-        if "|" not in k:
-            metrics[k] = v
-    for k in ("fcl_loss", "no-fcl_loss"):
-        if k in out:
-            metrics[k] = out[k]
     return new_state, metrics
 
 
@@ -581,12 +651,14 @@ def make_flat_train_step_scan(
     metric_names,
     dropout_seed=0,
     out_shardings=None,
+    n_accum=1,
 ):
     @partial(jax.jit, donate_argnums=0, out_shardings=out_shardings)
     def train_steps(state, batches):
         def body(st, batch):
             ns, metrics = _flat_step_body(
-                model, tx, schedule, unravel, st, batch, dropout_seed
+                model, tx, schedule, unravel, st, batch,
+                dropout_seed, n_accum,
             )
             packed = jnp.stack(
                 [metrics[k].astype(jnp.float32) for k in metric_names]
@@ -818,6 +890,12 @@ def train(config: Config) -> str:
         # amortise with multi-step scan calls there, stay single-step
         # on CPU (test) backends to keep compiles cheap
         steps_per_call = 1 if jax.default_backend() == "cpu" else 32
+    n_accum = int(config.get("grad_accum", 1))
+    if n_accum > 1 and config.batch_size % n_accum:
+        raise ValueError(
+            f"grad_accum={n_accum} must divide batch_size="
+            f"{config.batch_size}"
+        )
 
     preload = bool(config.get("preload_dataset", True))
     # background collation ahead of the device (one K-step launch's
@@ -933,6 +1011,7 @@ def train(config: Config) -> str:
         schedule,
         dropout_seed=config.seed,
         out_shardings=step_out_shardings,
+        n_accum=n_accum,
     )
     metric_names = step_metric_names(
         model, tx, schedule, state, first_batch
@@ -985,6 +1064,7 @@ def train(config: Config) -> str:
             metric_names,
             dropout_seed=config.seed,
             out_shardings=step_out_shardings,
+            n_accum=n_accum,
         )
         unravel_jit = jax.jit(unravel)
     elif steps_per_call > 1:
@@ -995,6 +1075,7 @@ def train(config: Config) -> str:
             metric_names,
             dropout_seed=config.seed,
             out_shardings=step_out_shardings,
+            n_accum=n_accum,
         )
     else:
         train_steps = None
