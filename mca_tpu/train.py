@@ -747,6 +747,7 @@ def run_eval_epoch(
     mesh,
     log: JSONLLogger,
     step: int,
+    stage=None,
 ) -> None:
     """Eval loop with the reference's metric names
     (train_accel_gpu.py:137-184).
@@ -758,6 +759,10 @@ def run_eval_epoch(
     """
     from mca_tpu.eval_metrics import epoch_metrics
 
+    if stage is None:
+        stage = lambda b, leading_scan_axis=False: shard_batch(  # noqa: E731
+            b, mesh, leading_scan_axis
+        )
     eval_step, eval_steps, names, k_per_call = eval_step
     emb_names, mask_names, loss_names = names
     emb_chunks, msk_chunks, loss_chunks, lv_chunks = [], [], [], []
@@ -772,10 +777,10 @@ def run_eval_epoch(
     def flush(chunk):
         if len(chunk) == 1 or eval_steps is None:
             for b in chunk:
-                keep(eval_step(params, shard_batch(b, mesh)))
+                keep(eval_step(params, stage(b)))
         else:
-            stacked = shard_batch(
-                stack_batches(chunk), mesh, leading_scan_axis=True
+            stacked = stage(
+                stack_batches(chunk), leading_scan_axis=True
             )
             keep(eval_steps(params, stacked))
 
@@ -968,6 +973,26 @@ def train(config: Config) -> str:
         "Number of training batches per epoch: %d", len(train_dl)
     )
 
+    # multi-host: every process runs this same loop over the same
+    # deterministic loader; each stages only ITS rows of every global
+    # batch (parallel.multihost) and rank 0 owns the JSONL/wandb
+    # stream.  Orbax checkpoint calls stay on ALL processes (they
+    # coordinate internally).  jax.distributed must have been
+    # initialized before backend init (main() calls init_multihost).
+    n_proc = jax.process_count()
+
+    def _stage(b, leading_scan_axis=False):
+        if n_proc == 1:
+            return shard_batch(b, mesh, leading_scan_axis)
+        from mca_tpu.parallel.multihost import global_batch, local_rows
+
+        ax = 1 if leading_scan_axis else 0
+        rows = local_rows(jax.tree.leaves(b)[0].shape[ax])
+        sliced = jax.tree.map(
+            lambda x: x[:, rows] if ax else x[rows], b
+        )
+        return global_batch(sliced, mesh, leading_scan_axis)
+
     wandb_cfg = None
     if config.wandb:
         wandb_cfg = {
@@ -980,7 +1005,12 @@ def train(config: Config) -> str:
             # train_accel_gpu.py:60-62: id=..., resume="must")
             wandb_cfg["id"] = config.wandb_restart
             wandb_cfg["resume"] = "must"
-    log = JSONLLogger(config.output_dir, wandb_config=wandb_cfg)
+    if n_proc > 1 and jax.process_index() != 0:
+        from mca_tpu.utils.logging import NullLogger
+
+        log = NullLogger()
+    else:
+        log = JSONLLogger(config.output_dir, wandb_config=wandb_cfg)
     tokens_per_step = config.batch_size * int(
         sum(
             e["max_tokens"] for e in config.encoder_configs.values()
@@ -1208,13 +1238,11 @@ def train(config: Config) -> str:
         nonlocal host_step
         if not scan_mode:
             for b in payload:
-                state, metrics = train_step(
-                    state, shard_batch(b, mesh)
-                )
+                state, metrics = train_step(state, _stage(b))
                 meter.step()
                 _log_metrics(metrics, state, epoch, None)
             return state
-        stacked = shard_batch(payload, mesh, leading_scan_axis=True)
+        stacked = _stage(payload, leading_scan_axis=True)
         state, packed = train_steps(state, stacked)
         drain_pending()
         pending_metrics.append((packed, k, host_step, epoch))
@@ -1295,12 +1323,15 @@ def train(config: Config) -> str:
                 mesh,
                 log,
                 int(state["step"]),
+                stage=_stage,
             )
     drain_pending()
     ckpt.wait_for_saves()
     final_params = current_params(state)
     ckpt.save_params(final_params, config.output_dir)
-    if config.get("export_safetensors", True):
+    if config.get("export_safetensors", True) and (
+        n_proc == 1 or jax.process_index() == 0
+    ):
         # also emit the reference's save_model format (ref
         # train_accel_gpu.py:187): a reference-named model.safetensors
         # the torch scripts can load directly (mca_tpu.interop)
@@ -1326,6 +1357,13 @@ def train(config: Config) -> str:
 
 def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO)
+    # must precede the first backend touch (jax.devices in make_mesh);
+    # env-gated no-op for single-host runs.  Multi-host runs should
+    # set an explicit output_dir (the auto-timestamped dedup could
+    # race across hosts).
+    from mca_tpu.parallel.multihost import init_multihost
+
+    init_multihost()
     argv = argv if argv is not None else sys.argv[1:]
     config = training_config(argv[0])
     train(config)

@@ -32,6 +32,18 @@ def _to_scalar(v: Any) -> Any:
     return v
 
 
+class NullLogger:
+    """Metric-logger stand-in for non-primary processes in a
+    multi-host run (rank 0 owns the JSONL file and the wandb stream;
+    every process still participates in checkpoints/collectives)."""
+
+    def log(self, metrics, step=None):
+        pass
+
+    def close(self):
+        pass
+
+
 class JSONLLogger:
     """Append-only JSONL metric log with optional wandb mirroring.
 
