@@ -113,6 +113,46 @@ def test_accum_step_equals_mean_of_microbatch_grads():
         )
 
 
+def test_accum_on_dp_mesh_matches_single_device():
+    """grad_accum composes with data parallelism: the batch-axis
+    reshape [B] -> [N, B/N] crosses the sharded axis (the partitioner
+    reshards each microbatch), and the result must still equal the
+    single-device accumulated step."""
+    from mca_tpu.parallel.mesh import make_mesh, shard_batch
+
+    cfg, batch = _setup()
+    mc = get_model_config(cfg)
+    model = build_model(mc)
+    tx = make_optimizer(cfg, 10)
+    schedule = hf_lr_schedule(
+        cfg.lr_scheduler_type, cfg.lr, cfg.num_warmup_steps, 10
+    )
+    state = init_state(model, tx, batch, seed=SEED)
+    ref_params = jax.tree.map(np.copy, state["params"])
+    step = make_train_step(
+        model, tx, schedule, dropout_seed=SEED, n_accum=N_ACCUM
+    )
+    s1, m1 = step(state, batch)
+
+    mesh = make_mesh(4, 1)
+    state2 = {
+        "params": jax.tree.map(jnp.asarray, ref_params),
+        "opt_state": tx.init(jax.tree.map(jnp.asarray, ref_params)),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    s2, m2 = step(state2, shard_batch(batch, mesh))
+    np.testing.assert_allclose(
+        float(m2["total_loss"]), float(m1["total_loss"]), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(s1["params"])),
+        jax.tree.leaves(jax.device_get(s2["params"])),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7
+        )
+
+
 def test_flat_scan_accum_matches_tree_accum():
     """The flat-vector fast path with grad_accum == the tree-state
     accumulated step (same mean-gradient math through the raveled
