@@ -154,6 +154,9 @@ def get_cfg_defaults_train() -> Config:
                                          # its own contrastive loss — DDP-rank
                                          # semantics — and activations peak at
                                          # one microbatch)
+            "halt_on_nan": True,         # failure detection: halt with a
+                                         # forensic checkpoint when the
+                                         # total loss goes non-finite
             "log_every": 1,              # JSONL log cadence (steps)
             "steps_per_call": 0,         # optimiser steps per launch (0 = auto)
             "checkpoint_keep": 0,        # 0 = keep all epoch checkpoints

@@ -738,6 +738,15 @@ def eval_output_names(model, model_config, params, batch):
 # ---------------------------------------------------------------------------
 
 
+class DivergenceError(RuntimeError):
+    """Raised by the ``halt_on_nan`` guard when the total loss goes
+    non-finite: a NaN loss makes every subsequent gradient, parameter
+    and checkpoint NaN, so the run is dead from that step on — halting
+    with a forensic checkpoint beats silently burning the rest of the
+    schedule (the reference would keep logging NaN rows,
+    train_accel_gpu.py:127-135)."""
+
+
 def run_eval_epoch(
     config: Config,
     model_config: Dict[str, Any],
@@ -1191,6 +1200,47 @@ def train(config: Config) -> str:
     pending_metrics = []
     host_step = int(state["step"])
 
+    halt_on_nan = bool(config.get("halt_on_nan", True))
+    # grad_norm is the robust death signal: with NaN parameters the
+    # NaN-safe pair averaging in the loss masks every pair and reports
+    # total_loss == 0.0, but the gradient norm goes NaN at the exact
+    # step training dies
+    _guard_cols = tuple(
+        (name, metric_names.index(name))
+        for name in ("total_loss", "grad_norm")
+        if name in metric_names
+    )
+
+    def _check_finite(pairs, step):
+        if not halt_on_nan:
+            return
+        for name, val in pairs:
+            val = float(val)
+            if not np.isfinite(val):
+                raise DivergenceError(
+                    f"{name} is {val} at step {step} — diverged "
+                    "(halt_on_nan: false to disable this guard)"
+                )
+
+    def _forensic_save(st):
+        """On divergence: the post-divergence state (NaN params and
+        moments included) in the usual layout for offline autopsy; the
+        JSONL already holds the NaN step rows.  Called at the raise
+        site because the lagged metrics drain means the loop-level
+        state variable may reference donated buffers."""
+        try:
+            ckpt.wait_for_saves()
+            ckpt.save_state(
+                state_for_checkpoint(st),
+                os.path.join(config.output_dir, "diverged"),
+            )
+            logger.error(
+                "training diverged — state saved to %s/diverged",
+                config.output_dir,
+            )
+        except Exception:
+            logger.exception("forensic checkpoint failed")
+
     def drain_pending():
         if not pending_metrics:
             return
@@ -1202,6 +1252,11 @@ def train(config: Config) -> str:
                 dict(zip(metric_names, host[i])),
                 None,
                 epoch_,
+                base_step + i + 1,
+            )
+        for i in range(k):
+            _check_finite(
+                ((n, host[i, c]) for n, c in _guard_cols),
                 base_step + i + 1,
             )
 
@@ -1241,10 +1296,25 @@ def train(config: Config) -> str:
                 state, metrics = train_step(state, _stage(b))
                 meter.step()
                 _log_metrics(metrics, state, epoch, None)
+                try:
+                    _check_finite(
+                        (
+                            (n, metrics[n])
+                            for n, _ in _guard_cols
+                        ),
+                        int(state["step"]),
+                    )
+                except DivergenceError:
+                    _forensic_save(state)
+                    raise
             return state
         stacked = _stage(payload, leading_scan_axis=True)
         state, packed = train_steps(state, stacked)
-        drain_pending()
+        try:
+            drain_pending()
+        except DivergenceError:
+            _forensic_save(state)
+            raise
         pending_metrics.append((packed, k, host_step, epoch))
         host_step += k
         return state
@@ -1300,7 +1370,11 @@ def train(config: Config) -> str:
             close = getattr(stream, "close", None)
             if close is not None:  # stop the producer on error paths
                 close()
-        drain_pending()  # epoch boundary: flush in-flight metrics
+        try:
+            drain_pending()  # epoch boundary: flush in-flight metrics
+        except DivergenceError:
+            _forensic_save(state)
+            raise
         # async: the disk write overlaps the next epoch's launches (the
         # device->host copy completes before return, so donation-safe)
         ckpt.save_state(
