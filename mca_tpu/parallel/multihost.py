@@ -41,7 +41,7 @@ __all__ = [
     "is_primary",
     "local_rows",
     "global_batch",
-    "global_scalar",
+    "check_mesh_alignment",
 ]
 
 
@@ -72,6 +72,12 @@ def init_multihost(
         process_id = int(os.environ.get("MCA_PROCESS_ID", "-1"))
     if not coordinator or num_processes <= 1:
         return False
+    if not 0 <= int(process_id) < int(num_processes):
+        raise ValueError(
+            f"MCA_PROCESS_ID={process_id} must be set to a rank in "
+            f"[0, {num_processes}) when MCA_COORDINATOR/"
+            "MCA_NUM_PROCESSES are configured"
+        )
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=int(num_processes),
@@ -128,6 +134,44 @@ def global_batch(batch, mesh: Mesh, leading_scan_axis: bool = False):
     )
 
 
-def global_scalar(x) -> float:
-    """Fetch a fully-replicated scalar metric on any process."""
-    return float(jax.device_get(x))
+def check_mesh_alignment(mesh: Mesh, global_batch_size: int) -> None:
+    """Fail fast when per-process contiguous row feeding cannot match
+    the mesh's 'data'-axis ownership.
+
+    :func:`local_rows` assumes process p owns the p-th contiguous
+    block of batch rows.  That holds when the mesh spans ALL devices
+    process-major, the data axis divides evenly across processes, and
+    the batch shards evenly over the data axis.  ``make_mesh`` can
+    silently clamp the auto data axis (batch not divisible) and drop
+    devices — single-host that only idles chips, but multi-host it
+    desynchronises ownership from the contiguous row blocks and the
+    first ``make_array_from_process_local_data`` call fails (or
+    worse).  Called by train() before the first staging."""
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return
+    n_dev = len(jax.devices())
+    data_axis = int(mesh.shape.get("data", 1))
+    problems = []
+    if mesh.devices.size != n_dev:
+        problems.append(
+            f"mesh uses {mesh.devices.size} of {n_dev} devices "
+            "(clamped/partial mesh)"
+        )
+    if data_axis % n_proc:
+        problems.append(
+            f"data axis {data_axis} not divisible by {n_proc} "
+            "processes"
+        )
+    if global_batch_size % max(data_axis, 1):
+        problems.append(
+            f"batch {global_batch_size} not divisible by data axis "
+            f"{data_axis}"
+        )
+    if problems:
+        raise ValueError(
+            "multi-host mesh/batch misalignment: "
+            + "; ".join(problems)
+            + " — pick batch_size divisible by the full device count "
+            "(see SCALING.md §3)"
+        )

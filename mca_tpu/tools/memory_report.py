@@ -134,7 +134,8 @@ def main(argv=None) -> None:
 
     from mca_tpu.config import training_config
 
-    config = training_config(args.config)
+    # pure inspection: never create a training_output_* dir
+    config = training_config(args.config, make_output_dir=False)
     if args.batch:
         config.batch_size = args.batch
     n_accum = args.grad_accum or int(config.get("grad_accum", 1))

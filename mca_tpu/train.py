@@ -403,17 +403,41 @@ def _accum_grads(
     def body(carry, xs):
         mb, i = xs
         (_, scal), g = vg(params, mb, i)
+        # NaN-aware metric accumulation: a pair whose joint presence
+        # mask is empty in ONE microbatch logs NaN for that microbatch
+        # (losses.py semantics); the step's logged value must be the
+        # mean over the microbatches that HAD the pair, not NaN —
+        # matching what grad_accum=1 logs for the same data
+        scal_sum = jax.tree.map(
+            lambda acc, v: acc + jnp.where(jnp.isfinite(v), v, 0.0),
+            carry[0],
+            scal,
+        )
+        scal_cnt = jax.tree.map(
+            lambda acc, v: acc + jnp.isfinite(v).astype(jnp.float32),
+            carry[1],
+            scal,
+        )
         return (
-            jax.tree.map(jnp.add, carry[0], scal),
-            jax.tree.map(jnp.add, carry[1], g),
+            scal_sum,
+            scal_cnt,
+            jax.tree.map(jnp.add, carry[2], g),
         ), None
 
-    (scal_sum, g_sum), _ = jax.lax.scan(
-        body, (zeros(scal_s), zeros(g_s)), (micro, jnp.arange(n_accum))
+    (scal_sum, scal_cnt, g_sum), _ = jax.lax.scan(
+        body,
+        (zeros(scal_s), zeros(scal_s), zeros(g_s)),
+        (micro, jnp.arange(n_accum)),
     )
     inv = 1.0 / n_accum
     return (
-        jax.tree.map(lambda x: (x * inv).astype(x.dtype), scal_sum),
+        jax.tree.map(
+            lambda s, c: jnp.where(c > 0, s / c, jnp.nan).astype(
+                s.dtype
+            ),
+            scal_sum,
+            scal_cnt,
+        ),
         jax.tree.map(lambda x: (x * inv).astype(x.dtype), g_sum),
     )
 
@@ -989,6 +1013,10 @@ def train(config: Config) -> str:
     # coordinate internally).  jax.distributed must have been
     # initialized before backend init (main() calls init_multihost).
     n_proc = jax.process_count()
+    if n_proc > 1:
+        from mca_tpu.parallel.multihost import check_mesh_alignment
+
+        check_mesh_alignment(mesh, int(config.batch_size))
 
     def _stage(b, leading_scan_axis=False):
         if n_proc == 1:
@@ -1014,12 +1042,14 @@ def train(config: Config) -> str:
             # train_accel_gpu.py:60-62: id=..., resume="must")
             wandb_cfg["id"] = config.wandb_restart
             wandb_cfg["resume"] = "must"
-    if n_proc > 1 and jax.process_index() != 0:
+    from mca_tpu.parallel.multihost import is_primary
+
+    if is_primary():
+        log = JSONLLogger(config.output_dir, wandb_config=wandb_cfg)
+    else:
         from mca_tpu.utils.logging import NullLogger
 
         log = NullLogger()
-    else:
-        log = JSONLLogger(config.output_dir, wandb_config=wandb_cfg)
     tokens_per_step = config.batch_size * int(
         sum(
             e["max_tokens"] for e in config.encoder_configs.values()
@@ -1403,9 +1433,9 @@ def train(config: Config) -> str:
     ckpt.wait_for_saves()
     final_params = current_params(state)
     ckpt.save_params(final_params, config.output_dir)
-    if config.get("export_safetensors", True) and (
-        n_proc == 1 or jax.process_index() == 0
-    ):
+    from mca_tpu.parallel.multihost import is_primary as _is_primary
+
+    if config.get("export_safetensors", True) and _is_primary():
         # also emit the reference's save_model format (ref
         # train_accel_gpu.py:187): a reference-named model.safetensors
         # the torch scripts can load directly (mca_tpu.interop)
@@ -1439,6 +1469,19 @@ def main(argv=None) -> None:
 
     init_multihost()
     argv = argv if argv is not None else sys.argv[1:]
+    if jax.process_count() > 1:
+        # every process derives its own auto-timestamped output dir —
+        # a 1s skew would point Orbax's coordinated saves at different
+        # paths, so multi-host runs must pin the dir explicitly
+        import yaml as _yaml
+
+        with open(argv[0]) as f:
+            raw = _yaml.safe_load(f) or {}
+        if not raw.get("output_dir"):
+            raise ValueError(
+                "multi-host runs must set an explicit output_dir "
+                "(auto-timestamped dirs race across hosts)"
+            )
     config = training_config(argv[0])
     train(config)
 

@@ -113,6 +113,51 @@ def test_accum_step_equals_mean_of_microbatch_grads():
         )
 
 
+def test_accum_nan_pair_metrics_average_over_present_microbatches():
+    """A pair absent from ONE microbatch logs NaN there (losses.py
+    empty-mask semantics); the accumulated step's logged pair metric
+    must be the mean over the microbatches that HAD the pair — not
+    NaN-poisoned by the empty one."""
+    cfg, batch = _setup()
+    pad = float(cfg.modality_config["protein"]["pad_token"])
+    batch = jax.tree.map(lambda x: np.array(x, copy=True), batch)
+    # microbatch 0 (rows 0..3): protein entirely missing — values at
+    # the pad sentinel and the collator's attention_mask all-1
+    # (mask==0 means attended; presence is (a==0).any(), mca.py:183)
+    batch["protein"]["values"][:4] = pad
+    batch["protein"]["attention_mask"][:4] = 1
+    batch = jax.tree.map(jnp.asarray, batch)
+
+    mc = get_model_config(cfg)
+    model = build_model(mc)
+    tx = make_optimizer(cfg, 10)
+    schedule = hf_lr_schedule(
+        cfg.lr_scheduler_type, cfg.lr, cfg.num_warmup_steps, 10
+    )
+    state = init_state(model, tx, batch, seed=SEED)
+    params = jax.tree.map(np.copy, state["params"])
+    step = make_train_step(
+        model, tx, schedule, dropout_seed=SEED, n_accum=N_ACCUM
+    )
+    _, metrics = step(state, batch)
+
+    def pair_loss(mb, i):
+        rng = jax.random.fold_in(
+            jax.random.fold_in(jax.random.key(SEED), 0), i
+        )
+        out = model.apply(
+            params, mb, deterministic=False, rngs={"dropout": rng}
+        )
+        return float(out["losses"]["gene_protein"])
+
+    v0 = pair_loss(_micro(batch, 0), 0)
+    v1 = pair_loss(_micro(batch, 1), 1)
+    assert not np.isfinite(v0)  # the empty-pair microbatch is NaN
+    assert np.isfinite(v1)
+    got = float(metrics["gene_protein"])
+    np.testing.assert_allclose(got, v1, rtol=1e-5)
+
+
 def test_accum_on_dp_mesh_matches_single_device():
     """grad_accum composes with data parallelism: the batch-axis
     reshape [B] -> [N, B/N] crosses the sharded axis (the partitioner

@@ -89,8 +89,51 @@ def test_two_process_full_train_loop_matches_single_process(tmp_path):
     np.testing.assert_allclose(mh_losses, sp_losses, rtol=1e-5)
 
 
+def test_init_multihost_validates_process_id():
+    from mca_tpu.parallel.multihost import init_multihost
+
+    with pytest.raises(ValueError, match="MCA_PROCESS_ID"):
+        init_multihost("localhost:1", 2, -1)  # rank unset/forgotten
+    with pytest.raises(ValueError, match="MCA_PROCESS_ID"):
+        init_multihost("localhost:1", 2, 2)  # out of range
+
+
+def test_check_mesh_alignment_rejects_clamped_mesh(monkeypatch):
+    """A mesh that dropped devices (batch-driven clamping) or a data
+    axis not divisible by the process count must fail fast — silent
+    ownership mismatch would feed wrong rows."""
+    import jax as _jax
+
+    from mca_tpu.parallel import multihost as mh
+    from mca_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setattr(_jax, "process_count", lambda: 2)
+    # batch 6 on 8 devices: make_mesh clamps data 8 -> 6, drops 2
+    clamped = make_mesh(0, 1, batch_size=6)
+    with pytest.raises(ValueError, match="misalignment"):
+        mh.check_mesh_alignment(clamped, 6)
+    # full mesh, aligned batch: fine
+    full = make_mesh(8, 1)
+    mh.check_mesh_alignment(full, 8)
+    # data axis not divisible by process count
+    monkeypatch.setattr(_jax, "process_count", lambda: 3)
+    with pytest.raises(ValueError, match="misalignment"):
+        mh.check_mesh_alignment(full, 24)
+
+
+def _free_port():
+    """A port the OS just handed out and released — avoids reusing one
+    fixed pid-derived port across the session's multihost tests (a
+    lingering coordinator socket would stall the next init)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
 def _spawn_workers(tmp_path, mode, timeout_s=540, expect_npz=True):
-    port = 23456 + os.getpid() % 1000
+    port = _free_port()
     worker = os.path.join(
         os.path.dirname(__file__), "_multihost_worker.py"
     )
