@@ -366,14 +366,21 @@ def _accum_grads(
     microbatches at FIXED ``params``.
 
     ``n_accum == 1`` is the plain single-pass value_and_grad.  For
-    ``n_accum > 1`` the batch's leading axis is reshaped to
-    ``[n_accum, B/n_accum]`` (contiguous row chunks) and a
-    ``lax.scan`` accumulates a running gradient sum — peak activation
-    memory is that of ONE microbatch, which is the point of the
-    feature.  Loss semantics: the contrastive loss is batch-global, so
-    each microbatch computes its own BxB/n logit matrix — exactly the
-    semantics of the reference's DDP ranks without a global gather
-    (ref utils/distributed.py gather modes; gather LOCAL/NONE), not a
+    ``n_accum > 1`` the batch splits into STRIDED microbatches
+    (microbatch i = rows ``i, i+N, i+2N, ...``) and a ``lax.scan``
+    accumulates a running gradient sum — peak activation memory is
+    that of ONE microbatch, which is the point of the feature.
+    Strided (not contiguous-chunk) selection is the TPU-correct
+    decomposition under data parallelism: every device keeps
+    ``B/(N*D)`` of every microbatch (contiguous chunks would idle all
+    but ``D/N`` devices per microbatch), and the reshape
+    ``[B] -> [B/N, N] -> swap`` keeps the sharded axis intact
+    (``P(None, 'data')``), which the flash kernel's
+    custom_partitioning rule requires.  Loss semantics: the
+    contrastive loss is batch-global, so each microbatch computes its
+    own logit matrix over its B/N rows — exactly the semantics of the
+    reference's DDP ranks without a global gather (ref
+    utils/distributed.py gather modes; gather LOCAL/NONE), not a
     re-association of the full-batch loss.  ``param_view`` maps
     optimizer-space parameters to the model's tree (identity for the
     tree path, ``unravel`` for the flat-vector path)."""
@@ -390,8 +397,8 @@ def _accum_grads(
         return scal, grads
     micro = jax.tree.map(
         lambda x: x.reshape(
-            (n_accum, x.shape[0] // n_accum) + x.shape[1:]
-        ),
+            (x.shape[0] // n_accum, n_accum) + x.shape[1:]
+        ).swapaxes(0, 1),
         batch,
     )
     mb0 = jax.tree.map(lambda x: x[0], micro)

@@ -1,8 +1,9 @@
 """Gradient-accumulation exactness pins.
 
-``grad_accum: N`` splits the batch into N contiguous microbatches
-inside the jitted step, accumulates a running mean gradient at fixed
-parameters, and applies ONE optimizer update.  Loss semantics are
+``grad_accum: N`` splits the batch into N STRIDED microbatches
+(rows i, i+N, ... — every device keeps a share of every microbatch
+under data parallelism) inside the jitted step, accumulates a running
+mean gradient at fixed parameters, and applies ONE optimizer update.  Loss semantics are
 microbatch-local (the contrastive loss is batch-global, so each
 microbatch computes its own logit matrix — the reference's DDP-rank
 semantics without a global gather, ref utils/distributed.py), so the
@@ -49,10 +50,9 @@ def _setup(batch_size=8):
 
 
 def _micro(batch, i, n=N_ACCUM):
-    return jax.tree.map(
-        lambda x: x[i * (x.shape[0] // n):(i + 1) * (x.shape[0] // n)],
-        batch,
-    )
+    # strided microbatches (rows i, i+n, ...) — the TPU-correct
+    # decomposition: every device keeps a share of every microbatch
+    return jax.tree.map(lambda x: x[i::n], batch)
 
 
 def _oracle_grads(model, params, batch, step):
@@ -121,11 +121,12 @@ def test_accum_nan_pair_metrics_average_over_present_microbatches():
     cfg, batch = _setup()
     pad = float(cfg.modality_config["protein"]["pad_token"])
     batch = jax.tree.map(lambda x: np.array(x, copy=True), batch)
-    # microbatch 0 (rows 0..3): protein entirely missing — values at
-    # the pad sentinel and the collator's attention_mask all-1
-    # (mask==0 means attended; presence is (a==0).any(), mca.py:183)
-    batch["protein"]["values"][:4] = pad
-    batch["protein"]["attention_mask"][:4] = 1
+    # microbatch 0 (strided rows 0,2,4,6): protein entirely missing —
+    # values at the pad sentinel and the collator's attention_mask
+    # all-1 (mask==0 means attended; presence is (a==0).any(),
+    # mca.py:183)
+    batch["protein"]["values"][::2] = pad
+    batch["protein"]["attention_mask"][::2] = 1
     batch = jax.tree.map(jnp.asarray, batch)
 
     mc = get_model_config(cfg)
