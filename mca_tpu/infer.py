@@ -108,11 +108,36 @@ def load_embedding_file(path_stem: str) -> Dict[Any, np.ndarray]:
 
 def infer(config: Config) -> str:
     assert config.restart, "inference needs config.restart -> checkpoint"
+    import os
+
+    os.makedirs(config.output_dir, exist_ok=True)
     mesh = make_mesh(
         config.mesh_data,
         config.mesh_model,
         batch_size=config.batch_size,
     )
+    # multi-host: same scheme as train() — every process runs the same
+    # deterministic loader, stages only ITS rows, and the sharded
+    # device outputs are gathered to every host before rank 0 writes
+    # the .pt files (labels come from the full global batch, so they
+    # are complete on every host)
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        from mca_tpu.parallel.multihost import check_mesh_alignment
+
+        check_mesh_alignment(mesh, int(config.batch_size))
+
+    def _stage(b, leading_scan_axis=False):
+        if n_proc == 1:
+            return shard_batch(b, mesh, leading_scan_axis)
+        from mca_tpu.parallel.multihost import global_batch, local_rows
+
+        ax = 1 if leading_scan_axis else 0
+        rows = local_rows(jax.tree.leaves(b)[0].shape[ax])
+        sliced = jax.tree.map(
+            lambda x: x[:, rows] if ax else x[rows], b
+        )
+        return global_batch(sliced, mesh, leading_scan_axis)
     model_config = get_model_config(config)
     model = build_model(model_config)
     mc = (
@@ -154,9 +179,8 @@ def infer(config: Config) -> str:
     # init to get structure, then restore the checkpointed params
     first = loaders["train"].first_batch()
     label_batch = first.pop(config.label_col)
-    params = jax.jit(model.init)(
-        jax.random.key(0), shard_batch(first, mesh)
-    )
+    first_staged = _stage(first)
+    params = jax.jit(model.init)(jax.random.key(0), first_staged)
     params = _restore_params(config.restart, params)
 
     def _split_out(out):
@@ -176,9 +200,7 @@ def infer(config: Config) -> str:
         return emb_keys, mask_keys
 
     _shapes = jax.eval_shape(
-        lambda p, b: model.apply(p, b),
-        params,
-        shard_batch(first, mesh),
+        lambda p, b: model.apply(p, b), params, first_staged
     )
     emb_keys, mask_keys = _split_out(_shapes)
 
@@ -225,13 +247,11 @@ def infer(config: Config) -> str:
         def flush(chunk) -> None:
             if len(chunk) == 1 or steps_per_call == 1:
                 for b in chunk:
-                    emb, msk, loss = forward(
-                        params, shard_batch(b, mesh)
-                    )
+                    emb, msk, loss = forward(params, _stage(b))
                     device_chunks.append((emb[None], msk[None], loss[None]))
             else:
-                stacked = shard_batch(
-                    stack_batches(chunk), mesh, leading_scan_axis=True
+                stacked = _stage(
+                    stack_batches(chunk), leading_scan_axis=True
                 )
                 device_chunks.append(forward_scan(params, stacked))
 
@@ -246,7 +266,16 @@ def infer(config: Config) -> str:
         if chunk:
             flush(chunk)
 
-        host_chunks = jax.device_get(device_chunks)
+        if n_proc == 1:
+            host_chunks = jax.device_get(device_chunks)
+        else:
+            # sharded device outputs are not fully addressable per
+            # process; gather the global values to every host
+            from jax.experimental import multihost_utils
+
+            host_chunks = multihost_utils.process_allgather(
+                device_chunks, tiled=True
+            )
         total_loss = 0.0
         n = 0
         for embs, msks, ls in host_chunks:
@@ -268,18 +297,21 @@ def infer(config: Config) -> str:
             n,
             total_loss / max(n, 1),
         )
-        _save(
-            {k: np.concatenate(v) for k, v in masks.items()},
-            f"{config.output_dir}/{split}_masks",
-        )
-        _save(
-            {k: np.concatenate(v) for k, v in embeddings.items()},
-            f"{config.output_dir}/{split}_embeddings",
-        )
-        _save_array(
-            np.concatenate(labels),
-            f"{config.output_dir}/{split}_labels",
-        )
+        from mca_tpu.parallel.multihost import is_primary
+
+        if is_primary():
+            _save(
+                {k: np.concatenate(v) for k, v in masks.items()},
+                f"{config.output_dir}/{split}_masks",
+            )
+            _save(
+                {k: np.concatenate(v) for k, v in embeddings.items()},
+                f"{config.output_dir}/{split}_embeddings",
+            )
+            _save_array(
+                np.concatenate(labels),
+                f"{config.output_dir}/{split}_labels",
+            )
     return config.output_dir
 
 
@@ -297,6 +329,9 @@ def _restore_params(restart_dir: str, target):
 
 def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO)
+    from mca_tpu.parallel.multihost import init_multihost
+
+    init_multihost()  # env-gated no-op on single-host runs
     argv = argv if argv is not None else sys.argv[1:]
     config = training_config(argv[0])
     infer(config)

@@ -144,6 +144,26 @@ def run_train():
     cfg.split = 0.25
     train(cfg)
 
+    # then multi-host batch inference from the trained checkpoint:
+    # every process stages its rows; rank 0 writes the .pt files
+    from mca_tpu.infer import infer
+
+    icfg = training_config_from_dict(
+        tiny_config(
+            "tcga",
+            widths=widths,
+            batch_size=8,
+            epochs=2,
+            lr=2e-3,
+            num_warmup_steps=2,
+        )
+    )
+    icfg.dataset = cfg.dataset
+    icfg.restart = os.path.join(cfg.output_dir, "1")
+    icfg.output_dir = os.path.join(outdir, "out_mh_infer")
+    icfg.split = 0.25
+    infer(icfg)
+
 
 if mode == "mca":
     run_mca()

@@ -88,6 +88,39 @@ def test_two_process_full_train_loop_matches_single_process(tmp_path):
     assert len(mh_losses) == len(sp_losses)
     np.testing.assert_allclose(mh_losses, sp_losses, rtol=1e-5)
 
+    # and the chained multi-host batch INFERENCE (rank 0's .pt files)
+    # matches the single-process infer from the equivalent checkpoint
+    from mca_tpu.config import training_config_from_dict as _tc
+    from mca_tpu.data.synthetic import tiny_config as _tiny
+    from mca_tpu.infer import infer
+
+    icfg = _tc(
+        _tiny("tcga", widths=widths, batch_size=8, epochs=2,
+              lr=2e-3, num_warmup_steps=2)
+    )
+    icfg.dataset = cfg.dataset
+    icfg.restart = os.path.join(cfg.output_dir, "1")
+    icfg.output_dir = str(tmp_path / "out_sp_infer")
+    icfg.split = 0.25
+    infer(icfg)
+
+    import torch
+
+    for split in ("train", "eval"):
+        mh = torch.load(
+            str(tmp_path / "out_mh_infer" / f"{split}_embeddings.pt"),
+            weights_only=False,
+        )
+        sp = torch.load(
+            str(tmp_path / "out_sp_infer" / f"{split}_embeddings.pt"),
+            weights_only=False,
+        )
+        assert set(mh) == set(sp)
+        for k in sp:
+            np.testing.assert_allclose(
+                mh[k].numpy(), sp[k].numpy(), rtol=1e-4, atol=1e-6
+            )
+
 
 def test_init_multihost_validates_process_id():
     from mca_tpu.parallel.multihost import init_multihost
