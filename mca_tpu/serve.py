@@ -75,7 +75,11 @@ class EmbeddingService:
             if hasattr(config.modality_config, "to_plain")
             else dict(config.modality_config)
         )
-        self._template = self._zero_row(config)
+        self._template = self._zero_row(
+            config.modality_config.to_plain()
+            if hasattr(config.modality_config, "to_plain")
+            else dict(config.modality_config)
+        )
         batch0 = self._pad([self._template])
         if params is None:
             params = jax.jit(self.model.init)(
@@ -116,17 +120,46 @@ class EmbeddingService:
         self._batcher: Optional[threading.Thread] = None
         self._stop = threading.Event()
 
+    @classmethod
+    def from_aot(
+        cls, path: str, max_wait_ms: float = 5.0
+    ) -> "EmbeddingService":
+        """Serve from a ``tools.export_aot`` artifact: weights and the
+        compiled forward come from the StableHLO blob, the collator
+        and request padding from the artifact header — no training
+        YAML, flax model build, or checkpoint at the serving host."""
+        from mca_tpu.tools.export_aot import load_aot_full
+
+        fn, header = load_aot_full(path)
+        mods = header.get("modality_config")
+        if not mods or not header.get("batch"):
+            raise ValueError(
+                "artifact lacks serving metadata (modality_config/"
+                "batch) — re-export with the current "
+                "mca_tpu.tools.export_aot"
+            )
+        self = object.__new__(cls)
+        self.config = None
+        self.model = None
+        self.params = None
+        self.max_batch = int(header["batch"])
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self.collate = MultimodalCollator(mods)
+        self._template = self._zero_row(mods)
+        self.emb_keys = tuple(header["emb_keys"])
+        self.mask_keys = tuple(header["mask_keys"])
+        self._fn = lambda params, batch: fn(batch)
+        self._queue = queue.Queue()
+        self._batcher = None
+        self._stop = threading.Event()
+        return self
+
     # -- request paths -------------------------------------------------
 
-    def _zero_row(self, config) -> Dict[str, Any]:
+    def _zero_row(self, mods: Dict[str, Any]) -> Dict[str, Any]:
         """A syntactically valid all-pad row (shape template for
-        warmup and batch padding)."""
+        warmup and batch padding), from a plain modality-config dict."""
         row: Dict[str, Any] = {}
-        mods = (
-            config.modality_config.to_plain()
-            if hasattr(config.modality_config, "to_plain")
-            else dict(config.modality_config)
-        )
         for m, c in mods.items():
             field = c.get("data_col_name", "values")
             pad = float(c.get("pad_token", -10000.0))
@@ -348,8 +381,19 @@ def main(argv=None) -> None:
 
     logging.basicConfig(level=logging.INFO)
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("config")
+    p.add_argument(
+        "config",
+        nargs="?",
+        default=None,
+        help="train yaml (omit with --aot)",
+    )
     p.add_argument("--restart", default=None, help="checkpoint dir")
+    p.add_argument(
+        "--aot",
+        default=None,
+        help="serve a tools.export_aot artifact (self-contained: no "
+        "config/checkpoint needed)",
+    )
     p.add_argument("--port", type=int, default=8777)
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
@@ -359,18 +403,24 @@ def main(argv=None) -> None:
         help="serve from freshly initialized parameters (demo only)",
     )
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
-    config = training_config(args.config)
-    restart = args.restart or (config.restart or None)
-    assert restart or args.allow_random_weights, (
-        "no checkpoint: pass --restart <dir> (or restart: in the "
-        "config), or --allow-random-weights for a demo server"
-    )
-    svc = EmbeddingService(
-        config,
-        restart=restart,
-        max_batch=args.max_batch,
-        max_wait_ms=args.max_wait_ms,
-    )
+    if args.aot:
+        svc = EmbeddingService.from_aot(
+            args.aot, max_wait_ms=args.max_wait_ms
+        )
+    else:
+        assert args.config, "pass a train yaml or --aot <artifact>"
+        config = training_config(args.config)
+        restart = args.restart or (config.restart or None)
+        assert restart or args.allow_random_weights, (
+            "no checkpoint: pass --restart <dir> (or restart: in the "
+            "config), or --allow-random-weights for a demo server"
+        )
+        svc = EmbeddingService(
+            config,
+            restart=restart,
+            max_batch=args.max_batch,
+            max_wait_ms=args.max_wait_ms,
+        )
     server = make_server(svc, args.port)
     logger.info(
         "serving embeddings on :%d (keys: %s)",

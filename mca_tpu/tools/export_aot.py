@@ -74,10 +74,27 @@ def export_packed_forward(
     return exp.serialize(), emb_keys, mask_keys
 
 
-def save_aot(path: str, blob: bytes, emb_keys, mask_keys) -> None:
-    """MAGIC + json header (key names) + the StableHLO blob."""
+def save_aot(
+    path: str,
+    blob: bytes,
+    emb_keys,
+    mask_keys,
+    modality_config=None,
+    batch: int = 0,
+) -> None:
+    """MAGIC + json header + the StableHLO blob.
+
+    ``modality_config``/``batch`` make the artifact self-contained for
+    serving: ``mca_tpu.serve --aot`` rebuilds the collator and request
+    padding from the header alone — no training YAML at the serving
+    host."""
     header = json.dumps(
-        {"emb_keys": list(emb_keys), "mask_keys": list(mask_keys)}
+        {
+            "emb_keys": list(emb_keys),
+            "mask_keys": list(mask_keys),
+            "modality_config": modality_config,
+            "batch": int(batch),
+        }
     ).encode()
     with open(path, "wb") as f:
         f.write(_MAGIC)
@@ -86,8 +103,8 @@ def save_aot(path: str, blob: bytes, emb_keys, mask_keys) -> None:
         f.write(blob)
 
 
-def load_aot(path: str):
-    """(callable(batch) -> (emb, msk), emb_keys, mask_keys)."""
+def load_aot_full(path: str):
+    """(callable(batch) -> (emb, msk), header dict)."""
     from jax import export as jexport
 
     with open(path, "rb") as f:
@@ -95,11 +112,13 @@ def load_aot(path: str):
         n = int.from_bytes(f.read(8), "little")
         header = json.loads(f.read(n))
         exp = jexport.deserialize(f.read())
-    return (
-        lambda batch: exp.call(batch),
-        tuple(header["emb_keys"]),
-        tuple(header["mask_keys"]),
-    )
+    return (lambda batch: exp.call(batch)), header
+
+
+def load_aot(path: str):
+    """(callable(batch) -> (emb, msk), emb_keys, mask_keys)."""
+    fn, header = load_aot_full(path)
+    return fn, tuple(header["emb_keys"]), tuple(header["mask_keys"])
 
 
 def main(argv=None) -> None:
@@ -132,7 +151,18 @@ def main(argv=None) -> None:
     blob, emb_keys, mask_keys = export_packed_forward(
         config, svc.params, batch, model=svc.model
     )
-    save_aot(args.out, blob, emb_keys, mask_keys)
+    save_aot(
+        args.out,
+        blob,
+        emb_keys,
+        mask_keys,
+        modality_config=(
+            config.modality_config.to_plain()
+            if hasattr(config.modality_config, "to_plain")
+            else dict(config.modality_config)
+        ),
+        batch=args.batch,
+    )
     logger.info(
         "exported %s (%d bytes, batch %d, platform %s, keys %s)",
         args.out,

@@ -156,6 +156,74 @@ def test_aot_export_roundtrip(service_and_oracle, tmp_path):
         )
 
 
+def test_serve_from_aot_artifact(service_and_oracle, tmp_path):
+    """EmbeddingService.from_aot serves an export_aot artifact with NO
+    config/model/checkpoint: same embeddings as the live service, and
+    the micro-batcher works on top of the baked executable."""
+    from mca_tpu.tools.export_aot import (
+        export_packed_forward,
+        save_aot,
+    )
+
+    svc, oracle, rows = service_and_oracle
+    batch = svc._pad(rows[:4])
+    blob, emb_keys, mask_keys = export_packed_forward(
+        svc.config, svc.params, batch
+    )
+    path = str(tmp_path / "model.stablehlo")
+    save_aot(
+        path,
+        blob,
+        emb_keys,
+        mask_keys,
+        modality_config=svc.config.modality_config.to_plain(),
+        batch=svc.max_batch,
+    )
+    asvc = EmbeddingService.from_aot(path)
+    assert asvc.max_batch == svc.max_batch
+    out = asvc.embed(rows[:3])
+    for k in asvc.emb_keys:
+        np.testing.assert_allclose(
+            out["embeddings"][k],
+            np.asarray(oracle[k])[:3],
+            rtol=1e-5,
+            atol=1e-6,
+        )
+    # micro-batching path on the artifact
+    asvc.start()
+    try:
+        futs = [asvc.submit(r) for r in rows[:2]]
+        results = [f.result(timeout=60) for f in futs]
+    finally:
+        asvc.stop()
+    for i, r in enumerate(results):
+        np.testing.assert_allclose(
+            r["embeddings"]["fusion"],
+            np.asarray(oracle["fusion"])[i],
+            rtol=1e-5,
+            atol=1e-6,
+        )
+
+
+def test_aot_artifact_without_metadata_rejected(
+    service_and_oracle, tmp_path
+):
+    from mca_tpu.tools.export_aot import (
+        export_packed_forward,
+        save_aot,
+    )
+
+    svc, _, rows = service_and_oracle
+    batch = svc._pad(rows[:4])
+    blob, emb_keys, mask_keys = export_packed_forward(
+        svc.config, svc.params, batch
+    )
+    path = str(tmp_path / "old.stablehlo")
+    save_aot(path, blob, emb_keys, mask_keys)  # no serving metadata
+    with pytest.raises(ValueError, match="serving metadata"):
+        EmbeddingService.from_aot(path)
+
+
 def test_parallel_config_keys_degrade_without_mesh():
     """seq_shard/mesh_pipe are train-time execution strategies — model
     consumers that never inject a mesh (infer/serve/export) must fall
