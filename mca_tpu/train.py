@@ -1237,6 +1237,26 @@ def train(config: Config) -> str:
     pending_metrics = []
     host_step = int(state["step"])
 
+    # mid-epoch resume: a restart from an n_step_checkpoint restores a
+    # step count INSIDE an epoch; fast-forward the deterministic
+    # loader past the already-trained batches instead of replaying
+    # them (the reference only restarts at epoch boundaries,
+    # train_accel_gpu.py restart_cfg).  Applies when the restored step
+    # places us inside config.start_epoch; epoch-boundary restarts
+    # have step % steps_per_epoch == 0 and skip nothing.
+    steps_per_epoch = len(train_dl)
+    _resume_skip = [0]
+    if config.restart and steps_per_epoch and host_step:
+        full_epochs, into_epoch = divmod(host_step, steps_per_epoch)
+        if into_epoch and full_epochs == int(config.start_epoch):
+            _resume_skip[0] = into_epoch
+            logger.info(
+                "mid-epoch resume: skipping %d already-trained "
+                "batches of epoch %d",
+                into_epoch,
+                full_epochs,
+            )
+
     halt_on_nan = bool(config.get("halt_on_nan", True))
     # grad_norm is the robust death signal: with NaN parameters the
     # NaN-safe pair averaging in the loss masks every pair and reports
@@ -1315,7 +1335,11 @@ def train(config: Config) -> str:
 
     def _chunk_stream():
         chunk = []
-        for b in train_dl:
+        skip = _resume_skip[0]
+        _resume_skip[0] = 0  # only the first resumed epoch skips
+        for i, b in enumerate(train_dl):
+            if i < skip:
+                continue
             chunk.append(b)
             if len(chunk) == steps_per_call:
                 yield _prep_chunk(chunk)
@@ -1369,8 +1393,12 @@ def train(config: Config) -> str:
 
     for epoch in range(config.start_epoch, config.epochs):
         train_dl.set_epoch(epoch)
-        last_ckpt_bucket = 0
-        nb_done = 0
+        nb_done = _resume_skip[0]  # keep n_step buckets aligned
+        last_ckpt_bucket = (
+            nb_done // config.n_step_checkpoint
+            if config.n_step_checkpoint
+            else 0
+        )
         if scan_mode and getattr(train_dl, "prefetch", 0) > 0:
             # chunk-level producer thread: collation (loader thread)
             # feeds stacking (this thread) feeds device_put (main)

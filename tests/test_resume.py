@@ -1,0 +1,75 @@
+"""Mid-epoch resume: restarting from an n_step_checkpoint
+fast-forwards the deterministic loader past the already-trained
+batches instead of replaying them — the trajectory continues exactly
+where the crashed run stopped (the reference can only restart at
+epoch boundaries)."""
+
+import json
+import os
+
+import jax
+import numpy as np
+
+from mca_tpu.config import training_config_from_dict
+from mca_tpu.data.synthetic import make_tcga_like, tiny_config, to_hf_dataset
+from mca_tpu.train import train
+
+
+def _base_cfg(tmp_path, out_name):
+    widths = {"gene": 12, "protein": 8, "methylation": 10, "mirna": 6}
+    cfg = training_config_from_dict(
+        tiny_config(
+            "tcga", widths=widths, batch_size=8, epochs=1,
+            lr=2e-3, num_warmup_steps=2,
+        )
+    )
+    cfg.dataset = str(tmp_path / "ds")
+    cfg.output_dir = str(tmp_path / out_name)
+    cfg.split = 0.2  # 40 samples -> 32 train -> 4 steps/epoch
+    return cfg, widths
+
+
+def _losses(output_dir):
+    with open(os.path.join(output_dir, "metrics.jsonl")) as f:
+        rows = [json.loads(line) for line in f]
+    return [
+        (r["step"], r["total_loss"]) for r in rows if "total_loss" in r
+    ]
+
+
+def test_mid_epoch_resume_continues_not_replays(tmp_path):
+    cfg_a, widths = _base_cfg(tmp_path, "out_a")
+    samples = make_tcga_like(
+        40, widths=widths, p_missing=0.2, seed=0
+    )
+    to_hf_dataset(samples).save_to_disk(cfg_a.dataset)
+    cfg_a.n_step_checkpoint = 3  # root state dir captured at step 3/4
+    train(cfg_a)
+    a_losses = _losses(cfg_a.output_dir)
+    assert [s for s, _ in a_losses] == [1, 2, 3, 4]
+
+    # "crash" after step 3: restart from the root n_step checkpoint
+    cfg_b, _ = _base_cfg(tmp_path, "out_b")
+    cfg_b.restart = cfg_a.output_dir
+    train(cfg_b)
+    b_losses = _losses(cfg_b.output_dir)
+
+    # exactly ONE training step ran (step 4), with A's step-4 loss —
+    # no replay of steps 1-3
+    assert [s for s, _ in b_losses] == [4]
+    np.testing.assert_allclose(
+        b_losses[0][1], a_losses[3][1], rtol=1e-6
+    )
+
+    # and the resumed run's final params equal the uninterrupted
+    # run's epoch-end checkpoint
+    from mca_tpu import checkpoint as ckpt
+
+    pa = ckpt.load_state(os.path.join(cfg_a.output_dir, "0"))
+    pb = ckpt.load_state(os.path.join(cfg_b.output_dir, "0"))
+    for x, y in zip(
+        jax.tree.leaves(pa["params"]), jax.tree.leaves(pb["params"])
+    ):
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), rtol=1e-6, atol=1e-8
+        )
