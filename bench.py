@@ -29,6 +29,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from mca_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # skip the 5-15 min remote cold compile on reruns
+
     from mca_tpu.config import get_model_config, training_config_from_dict
     from mca_tpu.data.collators import MultimodalCollator
     from mca_tpu.data.synthetic import make_tcga_like

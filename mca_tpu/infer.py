@@ -329,6 +329,10 @@ def _restore_params(restart_dir: str, target):
 
 def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO)
+    from mca_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from mca_tpu.parallel.multihost import init_multihost
 
     init_multihost()  # env-gated no-op on single-host runs

@@ -367,6 +367,10 @@ def probe(config: Config) -> Dict[str, Any]:
 
 
 def main(argv=None) -> None:
+    from mca_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     logging.basicConfig(level=logging.INFO)
     argv = argv if argv is not None else sys.argv[1:]
     config = embedding_eval_config(argv[0])

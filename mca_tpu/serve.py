@@ -380,6 +380,9 @@ def main(argv=None) -> None:
     from mca_tpu.config import training_config
 
     logging.basicConfig(level=logging.INFO)
+    from mca_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
         "config",

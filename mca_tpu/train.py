@@ -1496,6 +1496,10 @@ def train(config: Config) -> str:
 
 def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO)
+    from mca_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     # must precede the first backend touch (jax.devices in make_mesh);
     # env-gated no-op for single-host runs.  Multi-host runs should
     # set an explicit output_dir (the auto-timestamped dedup could
