@@ -421,6 +421,14 @@ class BatchedLoader:
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
 
+    def skip_batches(self, n: int) -> None:
+        """Fast-forward the NEXT iteration past the first ``n``
+        batches WITHOUT fetching or collating them (mid-epoch resume:
+        batch content is a pure function of index, so slicing the
+        order array is exact and free).  One-shot: consumed by the
+        next ``__iter__``/``_produce``."""
+        self._skip_next = int(n)
+
     def _batch_samples(self, idx) -> list:
         if self._items is not None:
             return [self._items[int(i)] for i in idx]
@@ -440,7 +448,9 @@ class BatchedLoader:
         usable = (
             n - n % self.batch_size if self.drop_last else n
         )
-        for start in range(0, usable, self.batch_size):
+        first = getattr(self, "_skip_next", 0) * self.batch_size
+        self._skip_next = 0
+        for start in range(first, usable, self.batch_size):
             idx = order[start : start + self.batch_size]
             yield self.collator(self._batch_samples(idx))
 

@@ -121,23 +121,10 @@ def infer(config: Config) -> str:
     # device outputs are gathered to every host before rank 0 writes
     # the .pt files (labels come from the full global batch, so they
     # are complete on every host)
+    from mca_tpu.parallel.multihost import make_stager
+
     n_proc = jax.process_count()
-    if n_proc > 1:
-        from mca_tpu.parallel.multihost import check_mesh_alignment
-
-        check_mesh_alignment(mesh, int(config.batch_size))
-
-    def _stage(b, leading_scan_axis=False):
-        if n_proc == 1:
-            return shard_batch(b, mesh, leading_scan_axis)
-        from mca_tpu.parallel.multihost import global_batch, local_rows
-
-        ax = 1 if leading_scan_axis else 0
-        rows = local_rows(jax.tree.leaves(b)[0].shape[ax])
-        sliced = jax.tree.map(
-            lambda x: x[:, rows] if ax else x[rows], b
-        )
-        return global_batch(sliced, mesh, leading_scan_axis)
+    _stage = make_stager(mesh, int(config.batch_size))
     model_config = get_model_config(config)
     model = build_model(model_config)
     mc = (
@@ -337,6 +324,19 @@ def main(argv=None) -> None:
 
     init_multihost()  # env-gated no-op on single-host runs
     argv = argv if argv is not None else sys.argv[1:]
+    if jax.process_count() > 1:
+        # same hazard as train: per-process auto-timestamped dirs
+        # would scatter rank 0's .pt files away from what the other
+        # ranks' configs (and downstream probe tooling) point at
+        import yaml as _yaml
+
+        with open(argv[0]) as f:
+            raw = _yaml.safe_load(f) or {}
+        if not raw.get("output_dir"):
+            raise ValueError(
+                "multi-host runs must set an explicit output_dir "
+                "(auto-timestamped dirs race across hosts)"
+            )
     config = training_config(argv[0])
     infer(config)
 

@@ -42,7 +42,36 @@ __all__ = [
     "local_rows",
     "global_batch",
     "check_mesh_alignment",
+    "make_stager",
 ]
+
+
+def make_stager(mesh: Mesh, global_batch_size: Optional[int] = None):
+    """Process-aware batch staging closure shared by train() and
+    infer(): single-process it is exactly
+    :func:`mca_tpu.parallel.mesh.shard_batch`; multi-process each
+    process slices ITS rows (:func:`local_rows`) and assembles the
+    global sharded array (:func:`global_batch`).
+    ``leading_scan_axis=True`` for stacked ``[K, B, ...]`` launches.
+    ``global_batch_size`` enables the fail-fast mesh-ownership check
+    on multi-process runs."""
+    from mca_tpu.parallel.mesh import shard_batch
+
+    n_proc = jax.process_count()
+    if n_proc > 1 and global_batch_size:
+        check_mesh_alignment(mesh, int(global_batch_size))
+
+    def stage(b, leading_scan_axis: bool = False):
+        if n_proc == 1:
+            return shard_batch(b, mesh, leading_scan_axis)
+        ax = 1 if leading_scan_axis else 0
+        rows = local_rows(jax.tree.leaves(b)[0].shape[ax])
+        sliced = jax.tree.map(
+            lambda x: x[:, rows] if ax else x[rows], b
+        )
+        return global_batch(sliced, mesh, leading_scan_axis)
+
+    return stage
 
 
 def init_multihost(

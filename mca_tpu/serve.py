@@ -66,20 +66,14 @@ class EmbeddingService:
         warmup: bool = True,
     ):
         self.config = config
-        self.max_batch = int(max_batch)
-        self.max_wait_s = float(max_wait_ms) / 1e3
         mc = get_model_config(config)
         self.model = build_model(mc)
-        self.collate = MultimodalCollator(
+        mods = (
             config.modality_config.to_plain()
             if hasattr(config.modality_config, "to_plain")
             else dict(config.modality_config)
         )
-        self._template = self._zero_row(
-            config.modality_config.to_plain()
-            if hasattr(config.modality_config, "to_plain")
-            else dict(config.modality_config)
-        )
+        self._common_init(mods, max_batch, max_wait_ms)
         batch0 = self._pad([self._template])
         if params is None:
             params = jax.jit(self.model.init)(
@@ -114,15 +108,33 @@ class EmbeddingService:
             # warm the cache so the first request doesn't pay the
             # compile (skip when the caller only wants params/collate,
             # e.g. the AOT exporter)
-            e, m = self._fn(self.params, batch0)
-            jax.block_until_ready((e, m))
+            self._warmup()
+
+    def _common_init(
+        self, mods: Dict[str, Any], max_batch: int, max_wait_ms: float
+    ) -> None:
+        """Runtime fields shared by BOTH construction paths (config
+        and from_aot) — keep new attributes HERE so AOT-served
+        instances never drift from config-built ones."""
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self.collate = MultimodalCollator(mods)
+        self._template = self._zero_row(mods)
         self._queue: "queue.Queue" = queue.Queue()
         self._batcher: Optional[threading.Thread] = None
         self._stop = threading.Event()
 
+    def _warmup(self) -> None:
+        """One padded forward so the first REQUEST never pays the
+        compile (a cold TPU compile is minutes — it must not happen
+        inside the request path, where the HTTP handler would time
+        out, see PERF.md)."""
+        e, m = self._fn(self.params, self._pad([self._template]))
+        jax.block_until_ready((e, m))
+
     @classmethod
     def from_aot(
-        cls, path: str, max_wait_ms: float = 5.0
+        cls, path: str, max_wait_ms: float = 5.0, warmup: bool = True
     ) -> "EmbeddingService":
         """Serve from a ``tools.export_aot`` artifact: weights and the
         compiled forward come from the StableHLO blob, the collator
@@ -142,16 +154,14 @@ class EmbeddingService:
         self.config = None
         self.model = None
         self.params = None
-        self.max_batch = int(header["batch"])
-        self.max_wait_s = float(max_wait_ms) / 1e3
-        self.collate = MultimodalCollator(mods)
-        self._template = self._zero_row(mods)
+        self._common_init(mods, int(header["batch"]), max_wait_ms)
         self.emb_keys = tuple(header["emb_keys"])
         self.mask_keys = tuple(header["mask_keys"])
         self._fn = lambda params, batch: fn(batch)
-        self._queue = queue.Queue()
-        self._batcher = None
-        self._stop = threading.Event()
+        if warmup:
+            # deserialize only parses — exp.call compiles on first
+            # invocation, which must happen here, not in a request
+            self._warmup()
         return self
 
     # -- request paths -------------------------------------------------

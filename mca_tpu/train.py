@@ -1019,23 +1019,10 @@ def train(config: Config) -> str:
     # stream.  Orbax checkpoint calls stay on ALL processes (they
     # coordinate internally).  jax.distributed must have been
     # initialized before backend init (main() calls init_multihost).
+    from mca_tpu.parallel.multihost import make_stager
+
     n_proc = jax.process_count()
-    if n_proc > 1:
-        from mca_tpu.parallel.multihost import check_mesh_alignment
-
-        check_mesh_alignment(mesh, int(config.batch_size))
-
-    def _stage(b, leading_scan_axis=False):
-        if n_proc == 1:
-            return shard_batch(b, mesh, leading_scan_axis)
-        from mca_tpu.parallel.multihost import global_batch, local_rows
-
-        ax = 1 if leading_scan_axis else 0
-        rows = local_rows(jax.tree.leaves(b)[0].shape[ax])
-        sliced = jax.tree.map(
-            lambda x: x[:, rows] if ax else x[rows], b
-        )
-        return global_batch(sliced, mesh, leading_scan_axis)
+    _stage = make_stager(mesh, int(config.batch_size))
 
     wandb_cfg = None
     if config.wandb:
@@ -1245,17 +1232,40 @@ def train(config: Config) -> str:
     # places us inside config.start_epoch; epoch-boundary restarts
     # have step % steps_per_epoch == 0 and skip nothing.
     steps_per_epoch = len(train_dl)
+    start_epoch = int(config.start_epoch)
     _resume_skip = [0]
     if config.restart and steps_per_epoch and host_step:
         full_epochs, into_epoch = divmod(host_step, steps_per_epoch)
-        if into_epoch and full_epochs == int(config.start_epoch):
-            _resume_skip[0] = into_epoch
+        if start_epoch == 0 and full_epochs > 0:
+            # default start_epoch with a restored step deep in the
+            # schedule: derive the epoch instead of silently
+            # re-training epochs 0..full_epochs on the restored state
             logger.info(
-                "mid-epoch resume: skipping %d already-trained "
-                "batches of epoch %d",
-                into_epoch,
+                "restored step %d implies start_epoch %d — resuming "
+                "there (set start_epoch explicitly to override)",
+                host_step,
                 full_epochs,
             )
+            start_epoch = full_epochs
+        if into_epoch:
+            if full_epochs == start_epoch:
+                _resume_skip[0] = into_epoch
+                logger.info(
+                    "mid-epoch resume: skipping %d already-trained "
+                    "batches of epoch %d",
+                    into_epoch,
+                    full_epochs,
+                )
+            else:
+                logger.warning(
+                    "restored step %d sits inside epoch %d but "
+                    "start_epoch=%d — NOT fast-forwarding; batches "
+                    "of this epoch will be replayed on the restored "
+                    "state",
+                    host_step,
+                    full_epochs,
+                    start_epoch,
+                )
 
     halt_on_nan = bool(config.get("halt_on_nan", True))
     # grad_norm is the robust death signal: with NaN parameters the
@@ -1335,11 +1345,13 @@ def train(config: Config) -> str:
 
     def _chunk_stream():
         chunk = []
-        skip = _resume_skip[0]
-        _resume_skip[0] = 0  # only the first resumed epoch skips
-        for i, b in enumerate(train_dl):
-            if i < skip:
-                continue
+        if _resume_skip[0]:
+            # index-level fast-forward: skipped batches are never
+            # fetched or collated (batch content is a pure function
+            # of index under the deterministic per-epoch shuffle)
+            train_dl.skip_batches(_resume_skip[0])
+            _resume_skip[0] = 0  # only the first resumed epoch skips
+        for b in train_dl:
             chunk.append(b)
             if len(chunk) == steps_per_call:
                 yield _prep_chunk(chunk)
@@ -1391,7 +1403,7 @@ def train(config: Config) -> str:
     trace_dir = config.get("trace_dir", "")
     launches = 0
 
-    for epoch in range(config.start_epoch, config.epochs):
+    for epoch in range(start_epoch, config.epochs):
         train_dl.set_epoch(epoch)
         nb_done = _resume_skip[0]  # keep n_step buckets aligned
         last_ckpt_bucket = (

@@ -73,3 +73,30 @@ def test_mid_epoch_resume_continues_not_replays(tmp_path):
         np.testing.assert_allclose(
             np.asarray(y), np.asarray(x), rtol=1e-6, atol=1e-8
         )
+
+
+def test_resume_derives_start_epoch_from_restored_step(tmp_path):
+    """A crash inside epoch 1 restarted with the DEFAULT start_epoch 0
+    must not re-train epoch 0 on the restored state: the epoch is
+    derived from the restored step and the loader fast-forwards."""
+    cfg_a, widths = _base_cfg(tmp_path, "out_a")
+    cfg_a.epochs = 2
+    samples = make_tcga_like(
+        40, widths=widths, p_missing=0.2, seed=0
+    )
+    to_hf_dataset(samples).save_to_disk(cfg_a.dataset)
+    cfg_a.n_step_checkpoint = 3  # root state at step 7 (epoch 1 + 3)
+    train(cfg_a)
+    a_losses = _losses(cfg_a.output_dir)
+    assert [s for s, _ in a_losses] == list(range(1, 9))
+
+    cfg_b, _ = _base_cfg(tmp_path, "out_b")
+    cfg_b.epochs = 2
+    cfg_b.restart = cfg_a.output_dir  # start_epoch stays default 0
+    train(cfg_b)
+    b_losses = _losses(cfg_b.output_dir)
+
+    assert [s for s, _ in b_losses] == [8]  # only step 8 ran
+    np.testing.assert_allclose(
+        b_losses[0][1], a_losses[7][1], rtol=1e-6
+    )
