@@ -40,6 +40,12 @@ def main() -> None:
         action="store_true",
         help="tiny synthetic model (CPU smoke test)",
     )
+    p.add_argument(
+        "--quantize",
+        choices=("none", "int8"),
+        default="none",
+        help="serve the int8-quantized projections (A/B arm)",
+    )
     args = p.parse_args()
 
     import numpy as np
@@ -79,6 +85,7 @@ def main() -> None:
         restart=args.restart,
         max_batch=args.max_batch,
         max_wait_ms=2.0,
+        quantize=args.quantize,
     )
     rows = make_tcga_like(
         args.rows, widths=widths, p_missing=0.25, seed=0
@@ -95,6 +102,7 @@ def main() -> None:
                 "value": round(args.rows / dt, 1),
                 "unit": "rows/s",
                 "max_batch": args.max_batch,
+                "quantize": args.quantize,
             }
         )
     )

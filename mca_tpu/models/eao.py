@@ -47,6 +47,8 @@ class EAO(nn.Module):
     mean_pool: bool = True
     precision: str = "fp32"
     attention_impl: str = "dense"
+    # int8 serving quantization (mca_tpu.ops.quant; inference-only)
+    quant: str = "none"
     remat: bool = False
     loss_axis_name: Optional[str] = None
     #: batch equal-packed-length channels into one transformer pass
@@ -86,6 +88,7 @@ class EAO(nn.Module):
                 # unmasked, but the flash kernel still wins on TPU:
                 # O(T) memory in the backward across the 15 passes
                 attn_impl=self.attention_impl,
+                quant=self.quant,
                 name=f"layer_{i}",
             )
             for i in range(self.depth)

@@ -27,6 +27,24 @@ from mca_tpu.ops.attention import masked_attention
 Array = jax.Array
 
 
+def _make_dense(features: int, dtype, name: str, quant: str = "none"):
+    """Projection factory: the fp Dense used for training, or the
+    int8 ``QuantDense`` (``mca_tpu.ops.quant``) when the model is
+    built with ``quant='int8'`` — a serving-only transform whose
+    parameters come from ``quantize_params`` on a trained tree."""
+    if quant == "int8":
+        from mca_tpu.ops.quant import QuantDense
+
+        return QuantDense(features, dtype=dtype, name=name)
+    return nn.Dense(
+        features,
+        use_bias=False,
+        kernel_init=torch_linear_init,
+        dtype=dtype,
+        name=name,
+    )
+
+
 class LayerNorm(nn.Module):
     """Bias-less layernorm (ref model.py:24-31)."""
 
@@ -43,27 +61,16 @@ class FeedForward(nn.Module):
     dim: int
     mult: float = 4
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         inner = int(self.dim * self.mult * 2 / 3)
         x = x.astype(self.dtype)
-        h = nn.Dense(
-            inner * 2,
-            use_bias=False,
-            kernel_init=torch_linear_init,
-            dtype=self.dtype,
-            name="w_in",
-        )(x)
+        h = _make_dense(inner * 2, self.dtype, "w_in", self.quant)(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = jax.nn.gelu(gate, approximate=False) * h
-        return nn.Dense(
-            self.dim,
-            use_bias=False,
-            kernel_init=torch_linear_init,
-            dtype=self.dtype,
-            name="w_out",
-        )(h)
+        return _make_dense(self.dim, self.dtype, "w_out", self.quant)(h)
 
 
 class Attention(nn.Module):
@@ -80,6 +87,7 @@ class Attention(nn.Module):
     heads: int = 8
     dtype: jnp.dtype = jnp.float32
     impl: str = "dense"
+    quant: str = "none"
 
     @nn.compact
     def __call__(
@@ -94,19 +102,9 @@ class Attention(nn.Module):
         kv_x = x if context is None else context
         x = x.astype(self.dtype)
         kv_x = kv_x.astype(self.dtype)
-        q = nn.Dense(
-            inner,
-            use_bias=False,
-            kernel_init=torch_linear_init,
-            dtype=self.dtype,
-            name="to_q",
-        )(x)
-        kv = nn.Dense(
-            inner * 2,
-            use_bias=False,
-            kernel_init=torch_linear_init,
-            dtype=self.dtype,
-            name="to_kv",
+        q = _make_dense(inner, self.dtype, "to_q", self.quant)(x)
+        kv = _make_dense(
+            inner * 2, self.dtype, "to_kv", self.quant
         )(kv_x)
         k, v = jnp.split(kv, 2, axis=-1)
 
@@ -145,12 +143,8 @@ class Attention(nn.Module):
             )
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
-        out = nn.Dense(
-            self.dim,
-            use_bias=False,
-            kernel_init=torch_linear_init,
-            dtype=self.dtype,
-            name="to_out",
+        out = _make_dense(
+            self.dim, self.dtype, "to_out", self.quant
         )(out)
         if return_attn:
             return out, attn_weights
@@ -166,6 +160,7 @@ class MCALayer(nn.Module):
     ff_mult: float
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "dense"
+    quant: str = "none"
 
     def setup(self) -> None:
         self.attn = Attention(
@@ -174,10 +169,15 @@ class MCALayer(nn.Module):
             heads=self.heads,
             dtype=self.dtype,
             impl=self.attn_impl,
+            quant=self.quant,
             name="attn",
         )
         self.ff = FeedForward(
-            dim=self.dim, mult=self.ff_mult, dtype=self.dtype, name="ff"
+            dim=self.dim,
+            mult=self.ff_mult,
+            dtype=self.dtype,
+            quant=self.quant,
+            name="ff",
         )
         # ONE norm instance, applied before both sub-layers — parameter
         # sharing faithful to the reference.

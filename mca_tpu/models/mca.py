@@ -65,6 +65,10 @@ class MCA(nn.Module):
     mean_pool: bool = False
     precision: str = "fp32"
     attention_impl: str = "dense"
+    # int8 serving quantization of the transformer projections
+    # (mca_tpu.ops.quant) — inference-only, params from
+    # quantize_params on a trained tree
+    quant: str = "none"
     remat: bool = False
     loss_axis_name: Optional[str] = None
     # GPipe pipeline parallelism over the layer stack (scaling
@@ -120,6 +124,7 @@ class MCA(nn.Module):
                 ff_mult=self.ff_mult,
                 dtype=dtype,
                 attn_impl=self.attention_impl,
+                quant=self.quant,
                 name=f"layer_{i}",
             )
             for i in range(self.depth)

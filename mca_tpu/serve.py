@@ -64,6 +64,7 @@ class EmbeddingService:
         max_batch: int = 8,
         max_wait_ms: float = 5.0,
         warmup: bool = True,
+        quantize: str = "none",
     ):
         self.config = config
         mc = get_model_config(config)
@@ -83,6 +84,15 @@ class EmbeddingService:
                 from mca_tpu.infer import _restore_params
 
                 params = _restore_params(restart, params)
+        if quantize != "none":
+            # post-training int8: trained fp tree -> int8 kernels +
+            # per-channel scales, model rebuilt with QuantDense
+            # projections (mca_tpu.ops.quant); the fp restore above
+            # stays byte-exact — quantization is a pure view on it
+            from mca_tpu.ops.quant import quantize_params
+
+            self.model = build_model(dict(mc, quant=quantize))
+            params = quantize_params(params)
         self.params = params
 
         shapes = jax.eval_shape(
@@ -411,12 +421,23 @@ def main(argv=None) -> None:
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument(
+        "--quantize",
+        choices=("none", "int8"),
+        default="none",
+        help="post-training int8 of the transformer projections "
+        "(s8xs8 MXU dots + 4x smaller weights; mca_tpu.ops.quant)",
+    )
+    p.add_argument(
         "--allow-random-weights",
         action="store_true",
         help="serve from freshly initialized parameters (demo only)",
     )
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
     if args.aot:
+        assert args.quantize == "none", (
+            "--quantize applies at model build time: quantize when "
+            "EXPORTING the artifact, not when serving it"
+        )
         svc = EmbeddingService.from_aot(
             args.aot, max_wait_ms=args.max_wait_ms
         )
@@ -433,6 +454,7 @@ def main(argv=None) -> None:
             restart=restart,
             max_batch=args.max_batch,
             max_wait_ms=args.max_wait_ms,
+            quantize=args.quantize,
         )
     server = make_server(svc, args.port)
     logger.info(

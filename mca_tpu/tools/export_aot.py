@@ -136,6 +136,14 @@ def main(argv=None) -> None:
     p.add_argument("--restart", default=None)
     p.add_argument("--out", required=True)
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument(
+        "--quantize",
+        choices=("none", "int8"),
+        default="none",
+        help="bake int8-quantized projections into the artifact "
+        "(mca_tpu.ops.quant; the int8 kernels become the baked "
+        "constants, ~4x smaller than fp32)",
+    )
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
     config = training_config(args.config)
 
@@ -146,6 +154,7 @@ def main(argv=None) -> None:
         restart=args.restart or (config.restart or None),
         max_batch=args.batch,
         warmup=False,  # the exporter lowers its own executable
+        quantize=args.quantize,
     )
     batch = svc._pad([svc._template] * args.batch)
     blob, emb_keys, mask_keys = export_packed_forward(
