@@ -143,13 +143,24 @@ def _apply_masks(s, t, full_of, mask_ref, pad_ref, has_mask,
 # ---------------------------------------------------------------------------
 
 
+def _prob_dt(prob_dtype: str):
+    """Score/probability tile dtype (`MCA_FLASH_PROB_DTYPE`): bf16
+    shares fp32's exponent range, so NEG_INF/DEAD_CLAMP survive; the
+    [bq, bk] softmax chain (the kernel's measured VPU bottleneck) runs
+    on half-width lanes and the p·v operand needs no cast.  Row
+    statistics (max/lse/l) stay fp32 in scratch either way.  A/B knob —
+    numerics vs the dense oracle are looser (8-bit score mantissa),
+    pinned in tests/test_flash_attention.py."""
+    return jnp.bfloat16 if prob_dtype == "bf16" else jnp.float32
+
+
 def _fwd_kernel(
     # scalar prefetch
     q_of, kv_of, full_of,
     # inputs: q, k, v, [mask,] pad — then outputs and scratch
     q_ref, k_ref, v_ref, *rest,
     scale: float, has_mask: bool = True, mask_mode: str = "select",
-    use_exp2: bool = False,
+    use_exp2: bool = False, prob_dtype: str = "f32",
 ):
     if has_mask:
         mask_ref, pad_ref, out_ref, lse_ref, m_scr, l_scr, acc_scr = rest
@@ -174,6 +185,7 @@ def _fwd_kernel(
     # tile ([bq, d] multiplies instead of [bq, bk]); exp2 mode folds
     # log2e in too and works in the base-2 domain throughout
     exp = jnp.exp2 if use_exp2 else jnp.exp
+    sdt = _prob_dt(prob_dtype)
     qscale = scale * LOG2E if use_exp2 else scale
     q = q_ref[0] * jnp.asarray(qscale, q_ref.dtype)  # [bq, d]
     k = k_ref[0]  # [bk, d]
@@ -181,8 +193,8 @@ def _fwd_kernel(
     s = jax.lax.dot_general(
         q, k,
         (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [bq, bk] fp32
+        preferred_element_type=sdt,
+    )  # [bq, bk] fp32 (or bf16 in prob_dtype=bf16 mode)
     s = _apply_masks(s, t, full_of, mask_ref, pad_ref, has_mask, mask_mode)
 
     m_prev = m_scr[:][:, :1]  # [bq, 1]
@@ -192,12 +204,17 @@ def _fwd_kernel(
     # exp(NEG_INF - DEAD_CLAMP) == 0; blocked entries in live rows are
     # exp(NEG_INF - finite) == 0 already
     m_new = jnp.maximum(
-        jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True)),
+        jnp.maximum(
+            m_prev,
+            jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32),
+        ),
         DEAD_CLAMP,
     )
-    p = exp(s - m_new)
+    p = exp(s - m_new.astype(sdt))
     correction = exp(m_prev - m_new)
-    l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+    l_new = l_prev * correction + jnp.sum(
+        p, axis=-1, keepdims=True, dtype=jnp.float32
+    )
     acc_scr[:] = acc_scr[:] * correction + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -230,7 +247,7 @@ def _dq_kernel(
     q_of, kv_of, full_of,
     q_ref, k_ref, v_ref, *rest,
     scale: float, has_mask: bool = True, mask_mode: str = "select",
-    use_exp2: bool = False,
+    use_exp2: bool = False, prob_dtype: str = "f32",
 ):
     if has_mask:
         (mask_ref, pad_ref, do_ref, lse_ref, delta_ref,
@@ -255,6 +272,7 @@ def _dq_kernel(
     # the [bq, bk] multiply disappears (exp2 mode folds log2e in too;
     # lse arrives in matching base-2 units)
     qscale = scale * LOG2E if use_exp2 else scale
+    sdt = _prob_dt(prob_dtype)
     q = q_ref[0] * jnp.asarray(qscale, q_ref.dtype)
     k = k_ref[0]
     v = v_ref[0]
@@ -265,10 +283,10 @@ def _dq_kernel(
     delta = delta_ref[0][:, :1]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=sdt,
     )
     s = _apply_masks(s, t, full_of, mask_ref, pad_ref, has_mask, mask_mode)
-    p = (jnp.exp2 if use_exp2 else jnp.exp)(s - lse)
+    p = (jnp.exp2 if use_exp2 else jnp.exp)(s - lse.astype(sdt))
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -289,6 +307,7 @@ def _fused_bwd_kernel(
     q_ref, k_ref, v_ref, *rest,
     scale: float, block_q: int, has_mask: bool = True,
     mask_mode: str = "select", use_exp2: bool = False,
+    prob_dtype: str = "f32",
 ):
     """Single kv-major pass computing dq, dk and dv together.
 
@@ -333,6 +352,7 @@ def _fused_bwd_kernel(
     # log2e in too (lse arrives base-2); the extra log2e absorbed into
     # dk is divided back out once per kv-block flush.
     qscale = scale * LOG2E if use_exp2 else scale
+    sdt = _prob_dt(prob_dtype)
     q = q_ref[0] * jnp.asarray(qscale, q_ref.dtype)
     k = k_ref[0]
     v = v_ref[0]
@@ -342,10 +362,10 @@ def _fused_bwd_kernel(
     delta = delta_ref[0][:, :1]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=sdt,
     )
     s = _apply_masks(s, t, full_of, mask_ref, pad_ref, has_mask, mask_mode)
-    p = (jnp.exp2 if use_exp2 else jnp.exp)(s - lse)
+    p = (jnp.exp2 if use_exp2 else jnp.exp)(s - lse.astype(sdt))
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -376,7 +396,7 @@ def _dkv_kernel(
     q_of, kv_of, full_of,
     q_ref, k_ref, v_ref, *rest,
     scale: float, has_mask: bool = True, mask_mode: str = "select",
-    use_exp2: bool = False,
+    use_exp2: bool = False, prob_dtype: str = "f32",
 ):
     if has_mask:
         (mask_ref, pad_ref, do_ref, lse_ref, delta_ref,
@@ -405,6 +425,7 @@ def _dkv_kernel(
     # log2e in too (lse arrives base-2); the extra log2e absorbed into
     # dk is divided back out once per kv-block flush.
     qscale = scale * LOG2E if use_exp2 else scale
+    sdt = _prob_dt(prob_dtype)
     q = q_ref[0] * jnp.asarray(qscale, q_ref.dtype)
     k = k_ref[0]
     v = v_ref[0]
@@ -414,10 +435,10 @@ def _dkv_kernel(
     delta = delta_ref[0][:, :1]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=sdt,
     )
     s = _apply_masks(s, t, full_of, mask_ref, pad_ref, has_mask, mask_mode)
-    p = (jnp.exp2 if use_exp2 else jnp.exp)(s - lse)
+    p = (jnp.exp2 if use_exp2 else jnp.exp)(s - lse.astype(sdt))
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -580,6 +601,7 @@ def make_flash_attention(
     interpret: bool = False,
     mask_mode: str = "select",
     use_exp2: bool = False,
+    prob_dtype: str = "f32",
 ):
     """Build a flash-attention fn for one static mask.
 
@@ -668,6 +690,7 @@ def make_flash_attention(
             functools.partial(
                 _fwd_kernel, scale=scale, has_mask=has_mask,
                 mask_mode=mask_mode, use_exp2=use_exp2,
+                prob_dtype=prob_dtype,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
@@ -754,6 +777,7 @@ def make_flash_attention(
             functools.partial(
                 _dq_kernel, scale=scale, has_mask=has_mask,
                 mask_mode=mask_mode, use_exp2=use_exp2,
+                prob_dtype=prob_dtype,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
@@ -780,6 +804,7 @@ def make_flash_attention(
             functools.partial(
                 _dkv_kernel, scale=scale, has_mask=has_mask,
                 mask_mode=mask_mode, use_exp2=use_exp2,
+                prob_dtype=prob_dtype,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
@@ -851,6 +876,7 @@ def make_flash_attention(
                 has_mask=has_mask,
                 mask_mode=mask_mode,
                 use_exp2=use_exp2,
+                prob_dtype=prob_dtype,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
@@ -1101,6 +1127,7 @@ def _measure_blocks(
     bwd_impl: str,
     mask_mode: str = "select",
     use_exp2: bool = False,
+    prob_dtype: str = "f32",
 ) -> Tuple[int, int]:
     """Measure-at-first-use tuner (``MCA_FLASH_TUNE=measure``).
 
@@ -1125,7 +1152,8 @@ def _measure_blocks(
         f"{attn_mask.shape[0]}x{attn_mask.shape[1]}:"
         f"{zlib.crc32(attn_mask.tobytes()):08x}:bh{b * h}:d{d}:"
         f"{np.dtype(dtype).name}:{bwd_impl}:{mask_mode}:"
-        f"exp2{int(use_exp2)}:{jax.devices()[0].device_kind}"
+        f"exp2{int(use_exp2)}:p{prob_dtype}:"
+        f"{jax.devices()[0].device_kind}"
     )
     path = _tune_cache_path()
     cache = {}
@@ -1163,6 +1191,7 @@ def _measure_blocks(
             bwd_impl=bwd_impl,
             mask_mode=mask_mode,
             use_exp2=use_exp2,
+            prob_dtype=prob_dtype,
         )
 
         def obj(q, k, v):
@@ -1249,6 +1278,8 @@ def flash_masked_attention(
     mask_mode = os.environ.get("MCA_FLASH_MASK_MODE", "select")
     # base-2 softmax A/B knob (see LOG2E above)
     use_exp2 = os.environ.get("MCA_FLASH_EXP2", "0") == "1"
+    # bf16 score/probability tiles A/B knob (see _prob_dt)
+    prob_dtype = os.environ.get("MCA_FLASH_PROB_DTYPE", "f32")
     if block_q is None or block_k is None:
         if (
             os.environ.get("MCA_FLASH_TUNE") == "measure"
@@ -1259,7 +1290,7 @@ def flash_masked_attention(
             # model's top candidates, disk-cached per mask/shape
             auto_q, auto_k = _measure_blocks(
                 attn_mask, scale, q.shape, q.dtype, bwd_impl,
-                mask_mode, use_exp2,
+                mask_mode, use_exp2, prob_dtype,
             )
         else:
             auto_q, auto_k = _auto_blocks(attn_mask)
@@ -1275,6 +1306,7 @@ def flash_masked_attention(
         interpret,
         mask_mode,
         use_exp2,
+        prob_dtype,
     )
     if key not in _CACHE:
         _CACHE[key] = make_flash_attention(
@@ -1286,5 +1318,6 @@ def flash_masked_attention(
             interpret=interpret,
             mask_mode=mask_mode,
             use_exp2=use_exp2,
+            prob_dtype=prob_dtype,
         )
     return _CACHE[key](q, k, v, key_padding_mask)

@@ -137,6 +137,54 @@ def test_gradients_match_dense(rng, bwd_impl):
 
 
 @pytest.mark.parametrize("bwd_impl", ["split", "fused"])
+def test_prob_dtype_bf16_matches_dense(rng, bwd_impl, monkeypatch):
+    """MCA_FLASH_PROB_DTYPE=bf16 (score/probability tiles in bf16, row
+    statistics fp32) reproduces dense values and gradients to 8-bit
+    score-mantissa fidelity — an A/B perf knob, so the tolerance is
+    deliberately looser than the fp32-chain pins."""
+    monkeypatch.setenv("MCA_FLASH_PROB_DTYPE", "bf16")
+    ms = M.build_masks([96, 64], 66, [2, 1])
+    t = ms.seq_len
+    q, k, v = _rand_qkv(rng, 2, 2, t, 64)
+    pad = np.zeros((2, t), bool)
+    pad[0, 96:130] = True
+    _compare(q, k, v, ms.attn_mask, pad, atol=5e-2)
+
+    pad_j = jnp.asarray(pad)
+    mask_j = jnp.asarray(ms.attn_mask)
+    blocked = np.asarray(ms.attn_mask)[None] | pad[:, None, :]
+    live = jnp.asarray(~blocked.all(axis=2))
+    w = jnp.asarray(rng.normal(size=(2, 2, t, 64)).astype(np.float32))
+
+    def obj_dense(q, k, v):
+        o = dense_masked_attention(
+            q, k, v, scale=SCALE, attn_mask=mask_j,
+            key_padding_mask=pad_j,
+        )
+        return (o * w * live[:, None, :, None]).sum()
+
+    def obj_flash(q, k, v):
+        o = flash_masked_attention(
+            q, k, v, scale=SCALE, attn_mask=ms.attn_mask,
+            key_padding_mask=pad_j, block_q=64, block_k=64,
+            bwd_impl=bwd_impl, interpret=True,
+        )
+        return (o * w * live[:, None, :, None]).sum()
+
+    gd = jax.grad(obj_dense, argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(obj_flash, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", gd, gf):
+        a, b = np.asarray(a), np.asarray(b)
+        # bf16 scores round the probabilities at ~0.4%: compare with a
+        # scale-relative bound, not the fp32 pins
+        bound = 5e-2 * max(np.abs(a).max(), 1e-3)
+        assert np.abs(b - a).max() <= bound, (
+            f"d{name} mismatch (prob bf16): "
+            f"{np.abs(b - a).max()} > {bound}"
+        )
+
+
+@pytest.mark.parametrize("bwd_impl", ["split", "fused"])
 def test_exp2_mode_matches_dense(rng, bwd_impl, monkeypatch):
     """MCA_FLASH_EXP2=1 (base-2 softmax, log2e folded into the q
     scale, lse stored base-2, dk's absorbed log2e divided out at
