@@ -154,6 +154,20 @@ def _prob_dt(prob_dtype: str):
     return jnp.bfloat16 if prob_dtype == "bf16" else jnp.float32
 
 
+def _score_dot(q, k, sdt):
+    """QK^T tile scores.  Mosaic requires 32-bit matmul accumulators on
+    hardware ("Expected matmul acc to be 32-bit"), so the dot always
+    accumulates fp32; in prob_dtype=bf16 mode the [bq, bk] tile is cast
+    down AFTER the dot — the VPU softmax chain still runs on half-width
+    lanes, and fp32 accumulation is strictly better numerically than a
+    bf16 accumulator would have been."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return s if sdt == jnp.float32 else s.astype(sdt)
+
+
 def _fwd_kernel(
     # scalar prefetch
     q_of, kv_of, full_of,
@@ -190,11 +204,7 @@ def _fwd_kernel(
     q = q_ref[0] * jnp.asarray(qscale, q_ref.dtype)  # [bq, d]
     k = k_ref[0]  # [bk, d]
     v = v_ref[0]  # [bk, d]
-    s = jax.lax.dot_general(
-        q, k,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=sdt,
-    )  # [bq, bk] fp32 (or bf16 in prob_dtype=bf16 mode)
+    s = _score_dot(q, k, sdt)  # [bq, bk] fp32 (bf16 in prob_dtype=bf16 mode)
     s = _apply_masks(s, t, full_of, mask_ref, pad_ref, has_mask, mask_mode)
 
     m_prev = m_scr[:][:, :1]  # [bq, 1]
@@ -281,10 +291,7 @@ def _dq_kernel(
     # exp(NEG_INF - DEAD_CLAMP) == 0 without a second [bq, bk] where
     lse = jnp.maximum(lse_ref[0][:, :1], DEAD_CLAMP)  # [bq, 1]
     delta = delta_ref[0][:, :1]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=sdt,
-    )
+    s = _score_dot(q, k, sdt)
     s = _apply_masks(s, t, full_of, mask_ref, pad_ref, has_mask, mask_mode)
     p = (jnp.exp2 if use_exp2 else jnp.exp)(s - lse.astype(sdt))
     dp = jax.lax.dot_general(
@@ -360,10 +367,7 @@ def _fused_bwd_kernel(
     # lse floor: dead rows yield p == 0 without a [bq, bk] where
     lse = jnp.maximum(lse_ref[0][:, :1], DEAD_CLAMP)
     delta = delta_ref[0][:, :1]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=sdt,
-    )
+    s = _score_dot(q, k, sdt)
     s = _apply_masks(s, t, full_of, mask_ref, pad_ref, has_mask, mask_mode)
     p = (jnp.exp2 if use_exp2 else jnp.exp)(s - lse.astype(sdt))
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
@@ -433,10 +437,7 @@ def _dkv_kernel(
     # lse floor: dead rows yield p == 0 without a [bq, bk] where
     lse = jnp.maximum(lse_ref[0][:, :1], DEAD_CLAMP)
     delta = delta_ref[0][:, :1]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=sdt,
-    )
+    s = _score_dot(q, k, sdt)
     s = _apply_masks(s, t, full_of, mask_ref, pad_ref, has_mask, mask_mode)
     p = (jnp.exp2 if use_exp2 else jnp.exp)(s - lse.astype(sdt))
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
