@@ -146,11 +146,14 @@ def _apply_masks(s, t, full_of, mask_ref, pad_ref, has_mask,
 def _prob_dt(prob_dtype: str):
     """Score/probability tile dtype (`MCA_FLASH_PROB_DTYPE`): bf16
     shares fp32's exponent range, so NEG_INF/DEAD_CLAMP survive; the
-    [bq, bk] softmax chain (the kernel's measured VPU bottleneck) runs
-    on half-width lanes and the p·v operand needs no cast.  Row
-    statistics (max/lse/l) stay fp32 in scratch either way.  A/B knob —
-    numerics vs the dense oracle are looser (8-bit score mantissa),
-    pinned in tests/test_flash_attention.py."""
+    [bq, bk] softmax chain runs on half-width lanes and the p·v
+    operand needs no cast.  Row statistics (max/lse/l) stay fp32 in
+    scratch either way.  Measured a ~3% LOSS at canonical scale
+    (PERF.md round 3: the transcendental chain is not lane-width-bound
+    and the casts cost real VPU time) — kept as an A/B knob, default
+    f32; numerics vs the dense oracle are looser (8-bit score
+    mantissa), pinned in tests/test_flash_attention.py and on-chip in
+    baselines/tpu_kernel_parity.py."""
     return jnp.bfloat16 if prob_dtype == "bf16" else jnp.float32
 
 
