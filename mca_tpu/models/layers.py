@@ -15,6 +15,7 @@
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -43,6 +44,37 @@ def _make_dense(features: int, dtype, name: str, quant: str = "none"):
         dtype=dtype,
         name=name,
     )
+
+
+class _ProjKernel(nn.Module):
+    """Parameter-only stand-in for a bias-free ``nn.Dense`` child.
+
+    Owns the identical ``<name>/kernel`` parameter (same path, shape,
+    and init as the Dense it replaces) but returns the kernel itself,
+    so the caller can concatenate several projections into one GEMM.
+    Checkpoints, interop, and weight-transplant parity are unaffected
+    because the parameter tree is byte-identical either way.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int) -> Array:
+        return self.param(
+            "kernel", torch_linear_init, (in_features, self.features)
+        )
+
+
+def _fused_qkv_enabled() -> bool:
+    """Trace-time A/B knob: fuse the self-attention q and kv
+    projections into a single ``[dim, 3*inner]`` GEMM
+    (``MCA_FUSED_QKV=1``; kernels concatenated at trace time, param
+    tree unchanged).  MEASURED NEGATIVE at canonical scale: 392.5k vs
+    396.6k tok/s (-1%, interleaved x2 on the v5e, PERF.md round 3) —
+    the per-step weight concat (fwd and again in the bwd dW split)
+    costs more than the wider GEMM saves.  Default off; kept as a
+    pinned regression oracle (tests/test_model.py)."""
+    return os.environ.get("MCA_FUSED_QKV", "0") == "1"
 
 
 class LayerNorm(nn.Module):
@@ -102,10 +134,25 @@ class Attention(nn.Module):
         kv_x = x if context is None else context
         x = x.astype(self.dtype)
         kv_x = kv_x.astype(self.dtype)
-        q = _make_dense(inner, self.dtype, "to_q", self.quant)(x)
-        kv = _make_dense(
-            inner * 2, self.dtype, "to_kv", self.quant
-        )(kv_x)
+        if (
+            context is None
+            and self.quant == "none"
+            and _fused_qkv_enabled()
+        ):
+            # Self-attention fast path: one [dim, 3*inner] GEMM for
+            # q+k+v (kernels concatenated at trace time; param tree
+            # unchanged — see _ProjKernel).
+            d_in = x.shape[-1]
+            w_q = _ProjKernel(inner, name="to_q")(d_in)
+            w_kv = _ProjKernel(inner * 2, name="to_kv")(d_in)
+            w = jnp.concatenate([w_q, w_kv], axis=1).astype(self.dtype)
+            qkv = x @ w
+            q, kv = qkv[..., :inner], qkv[..., inner:]
+        else:
+            q = _make_dense(inner, self.dtype, "to_q", self.quant)(x)
+            kv = _make_dense(
+                inner * 2, self.dtype, "to_kv", self.quant
+            )(kv_x)
         k, v = jnp.split(kv, 2, axis=-1)
 
         def split_heads(t: Array) -> Array:

@@ -371,3 +371,38 @@ def test_mean_pool_projection_variant(rng):
     np.testing.assert_allclose(
         np.asarray(out)[1, 0], bias, atol=1e-6
     )
+
+
+def test_fused_qkv_matches_unfused(monkeypatch):
+    """MCA_FUSED_QKV=1 (measured-negative A/B arm, PERF.md round 3)
+    must be numerically IDENTICAL to the default unfused projections:
+    the fused path concatenates the same kernels at trace time, and a
+    GEMM computes each output column from its own kernel column either
+    way.  Param trees must match byte-for-byte so checkpoints/interop
+    are knob-independent."""
+    from mca_tpu.models.layers import Attention
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 64)).astype(np.float32))
+
+    def init_and_grads(fused: str):
+        monkeypatch.setenv("MCA_FUSED_QKV", fused)
+        attn = Attention(dim=64, dim_head=16, heads=4)
+        params = attn.init(jax.random.key(0), x)
+
+        def loss(p):
+            return jnp.sum(attn.apply(p, x) ** 2)
+
+        val, grads = jax.value_and_grad(loss)(params)
+        return params, val, grads
+
+    p0, v0, g0 = init_and_grads("0")
+    p1, v1, g1 = init_and_grads("1")
+    assert jax.tree.structure(p0) == jax.tree.structure(p1)
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
