@@ -106,6 +106,56 @@ def load_embedding_file(path_stem: str) -> Dict[Any, np.ndarray]:
     return {k: data[k] for k in data.files}
 
 
+def split_output_keys(out) -> tuple:
+    """Embedding vs mask keys of a model output tree (stable order)."""
+    emb_keys = sorted(
+        k
+        for k in out
+        if k
+        not in (
+            "loss",
+            "losses",
+            "fcl_loss",
+            "no-fcl_loss",
+            "modality_sample_mask",
+        )
+    )
+    mask_keys = sorted(out["modality_sample_mask"])
+    return emb_keys, mask_keys
+
+
+def make_packed_forward(model, emb_keys, mask_keys):
+    """Few-buffer inference forward: stacked embeddings + masks + loss.
+
+    Per-key outputs would be ~80 buffers per launch (each one has
+    per-launch cost on remote-attached chips, see PERF.md).
+    """
+
+    def _packed_forward(params, batch):
+        out = model.apply(params, batch)
+        emb = jnp.stack([out[k] for k in emb_keys])  # [E, B, D]
+        msk = jnp.stack(
+            [out["modality_sample_mask"][k] for k in mask_keys]
+        )  # [M, B]
+        return emb, msk, out["loss"]
+
+    return _packed_forward
+
+
+def make_forward_scan(packed_forward):
+    """K inference forwards per launch (stacked batches, lax.scan)."""
+
+    @jax.jit
+    def forward_scan(params, batches):
+        def body(carry, b):
+            return carry, packed_forward(params, b)
+
+        _, outs = jax.lax.scan(body, None, batches)
+        return outs  # ([K, E, B, D], [K, M, B], [K])
+
+    return forward_scan
+
+
 def infer(config: Config) -> str:
     assert config.restart, "inference needs config.restart -> checkpoint"
     import os
@@ -170,49 +220,14 @@ def infer(config: Config) -> str:
     params = jax.jit(model.init)(jax.random.key(0), first_staged)
     params = _restore_params(config.restart, params)
 
-    def _split_out(out):
-        emb_keys = sorted(
-            k
-            for k in out
-            if k
-            not in (
-                "loss",
-                "losses",
-                "fcl_loss",
-                "no-fcl_loss",
-                "modality_sample_mask",
-            )
-        )
-        mask_keys = sorted(out["modality_sample_mask"])
-        return emb_keys, mask_keys
-
     _shapes = jax.eval_shape(
         lambda p, b: model.apply(p, b), params, first_staged
     )
-    emb_keys, mask_keys = _split_out(_shapes)
+    emb_keys, mask_keys = split_output_keys(_shapes)
 
-    def _packed_forward(params, batch):
-        """Few-buffer output: stacked embeddings + masks + loss.
-
-        Per-key outputs would be ~80 buffers per launch (each one has
-        per-launch cost on remote-attached chips, see PERF.md).
-        """
-        out = model.apply(params, batch)
-        emb = jnp.stack([out[k] for k in emb_keys])  # [E, B, D]
-        msk = jnp.stack(
-            [out["modality_sample_mask"][k] for k in mask_keys]
-        )  # [M, B]
-        return emb, msk, out["loss"]
-
+    _packed_forward = make_packed_forward(model, emb_keys, mask_keys)
     forward = jax.jit(_packed_forward)
-
-    @jax.jit
-    def forward_scan(params, batches):
-        def body(carry, b):
-            return carry, _packed_forward(params, b)
-
-        _, outs = jax.lax.scan(body, None, batches)
-        return outs  # ([K, E, B, D], [K, M, B], [K])
+    forward_scan = make_forward_scan(_packed_forward)
 
     # the reference reads batch['Labels']['data'] (infer_accel_gpu.py:105);
     # TCGA-style datasets store labels under 'values'
