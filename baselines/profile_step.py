@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--k", type=int, default=32)
     ap.add_argument("--dataset", default="tcga")
     ap.add_argument("--trace-dir", default="")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override batch size (0 = canonical 8)")
     args = ap.parse_args()
 
     import __graft_entry__ as ge
@@ -59,7 +61,11 @@ def main():
         make_optimizer,
     )
 
-    cfg = training_config_from_dict(ge._tcga_config())
+    cfg = training_config_from_dict(
+        ge._tcga_config(
+            **({"batch_size": args.batch} if args.batch else {})
+        )
+    )
     model = build_model(get_model_config(cfg))
     widths = {m: c["pad_len"] for m, c in cfg.modality_config.items()}
     samples = make_tcga_like(
