@@ -595,6 +595,23 @@ def _prep_mask(
     return padded.astype(np.int8)
 
 
+def _dimsem_params(dimsem: bool):
+    """Mosaic grid-dimension semantics A/B knob (``MCA_FLASH_DIMSEM``).
+
+    The grid is ``(batch_head, tile)``: batch-heads are embarrassingly
+    parallel; the tile dim must stay "arbitrary" (the online-softmax
+    accumulators and the fused backward's dq block carry state across
+    kv-tile revisits).  Declaring the first dim "parallel" lets Mosaic
+    reorder/pipeline across batch-heads."""
+    if not dimsem:
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        )
+    }
+
+
 def make_flash_attention(
     attn_mask: np.ndarray,
     *,
@@ -606,6 +623,7 @@ def make_flash_attention(
     mask_mode: str = "select",
     use_exp2: bool = False,
     prob_dtype: str = "f32",
+    dimsem: bool = False,
 ):
     """Build a flash-attention fn for one static mask.
 
@@ -739,6 +757,7 @@ def make_flash_attention(
                 jax.ShapeDtypeStruct((bh, tq, 8), jnp.float32),
             ],
             interpret=interpret,
+            **_dimsem_params(dimsem),
         )(sched[0], sched[1], sched[2], q, k, v, *mask_op, pad8)
         return out, lse[:, :, 0]
 
@@ -801,6 +820,7 @@ def make_flash_attention(
                 jax.ShapeDtypeStruct((bh, tq, d), q.dtype)
             ],
             interpret=interpret,
+            **_dimsem_params(dimsem),
         )(sched_q[0], sched_q[1], sched_q[2], q, k, v,
           *mask_op, pad8, do, lse, delta)[0]
 
@@ -834,6 +854,7 @@ def make_flash_attention(
                 jax.ShapeDtypeStruct((bh, tk, d), q.dtype),
             ],
             interpret=interpret,
+            **_dimsem_params(dimsem),
         )(sched_kv[0], sched_kv[1], sched_kv[2], q, k, v,
           *mask_op, pad8, do, lse, delta)
         return dq, dk, dv
@@ -912,6 +933,7 @@ def make_flash_attention(
                 jax.ShapeDtypeStruct((bh, tk, d), q.dtype),
             ],
             interpret=interpret,
+            **_dimsem_params(dimsem),
         )(sched_kv[0], sched_kv[1], sched_kv[2], q, k, v,
           *mask_op, pad8, do, lse, delta)
         return dq.astype(q.dtype), dk, dv
@@ -1284,6 +1306,8 @@ def flash_masked_attention(
     use_exp2 = os.environ.get("MCA_FLASH_EXP2", "0") == "1"
     # bf16 score/probability tiles A/B knob (see _prob_dt)
     prob_dtype = os.environ.get("MCA_FLASH_PROB_DTYPE", "f32")
+    # Mosaic grid-dimension-semantics A/B knob (see _dimsem_params)
+    dimsem = os.environ.get("MCA_FLASH_DIMSEM", "0") == "1"
     if block_q is None or block_k is None:
         if (
             os.environ.get("MCA_FLASH_TUNE") == "measure"
@@ -1311,6 +1335,7 @@ def flash_masked_attention(
         mask_mode,
         use_exp2,
         prob_dtype,
+        dimsem,
     )
     if key not in _CACHE:
         _CACHE[key] = make_flash_attention(
@@ -1323,5 +1348,6 @@ def flash_masked_attention(
             mask_mode=mask_mode,
             use_exp2=use_exp2,
             prob_dtype=prob_dtype,
+            dimsem=dimsem,
         )
     return _CACHE[key](q, k, v, key_padding_mask)
