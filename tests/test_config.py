@@ -117,3 +117,40 @@ def test_eval_defaults():
     assert cfg.model_type == "linear"
     assert cfg.batch_size == 1024
     assert cfg.clip == 2.0
+
+
+def test_docs_config_reference_covers_all_keys():
+    """docs/config.md documents every key in both default schemas (and
+    the env knobs the ops layer reads) — a docs-rot guard: adding a
+    config key without documenting it fails here."""
+    import re
+
+    from mca_tpu.config import (
+        get_cfg_defaults_embedding_eval,
+        get_cfg_defaults_train,
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    doc = open(os.path.join(root, "docs", "config.md")).read()
+    missing = [
+        k
+        for k in list(get_cfg_defaults_train())
+        + list(get_cfg_defaults_embedding_eval())
+        if f"`{k}`" not in doc and k not in doc
+    ]
+    assert not missing, f"undocumented config keys: {missing}"
+
+    # every MCA_* env knob read anywhere in the package
+    import mca_tpu
+
+    pkg = os.path.dirname(mca_tpu.__file__)
+    knobs = set()
+    for dirpath, _, files in os.walk(pkg):
+        for f in files:
+            if f.endswith(".py"):
+                src = open(os.path.join(dirpath, f)).read()
+                knobs |= set(re.findall(r'"(MCA_[A-Z0-9_]+)"', src))
+    # cache-path override is documented via MCA_COMPILE_CACHE
+    knobs.discard("MCA_FLASH_TUNE_CACHE")
+    undocumented = sorted(k for k in knobs if k not in doc)
+    assert not undocumented, f"undocumented env knobs: {undocumented}"
