@@ -44,12 +44,8 @@ def main() -> None:
 
     overrides = {"batch_size": batch_size}
     if dataset == "cmu":
-        shapes = {
-            "COVAREP": (74, 1500),
-            "FACET": (35, 450),
-            "OpenFace": (713, 450),
-            "glove_vectors": (300, 50),
-        }
+        from mca_tpu.data.synthetic import CMU_MODALITIES as shapes
+
         overrides["encoder_configs"] = {
             m: {
                 "type": "EmbeddedSequenceEncoder",

@@ -1154,6 +1154,7 @@ def _measure_blocks(
     mask_mode: str = "select",
     use_exp2: bool = False,
     prob_dtype: str = "f32",
+    dimsem: bool = False,
 ) -> Tuple[int, int]:
     """Measure-at-first-use tuner (``MCA_FLASH_TUNE=measure``).
 
@@ -1178,7 +1179,7 @@ def _measure_blocks(
         f"{attn_mask.shape[0]}x{attn_mask.shape[1]}:"
         f"{zlib.crc32(attn_mask.tobytes()):08x}:bh{b * h}:d{d}:"
         f"{np.dtype(dtype).name}:{bwd_impl}:{mask_mode}:"
-        f"exp2{int(use_exp2)}:p{prob_dtype}:"
+        f"exp2{int(use_exp2)}:p{prob_dtype}:ds{int(dimsem)}:"
         f"{jax.devices()[0].device_kind}"
     )
     path = _tune_cache_path()
@@ -1218,6 +1219,7 @@ def _measure_blocks(
             mask_mode=mask_mode,
             use_exp2=use_exp2,
             prob_dtype=prob_dtype,
+            dimsem=dimsem,
         )
 
         def obj(q, k, v):
@@ -1318,7 +1320,7 @@ def flash_masked_attention(
             # model's top candidates, disk-cached per mask/shape
             auto_q, auto_k = _measure_blocks(
                 attn_mask, scale, q.shape, q.dtype, bwd_impl,
-                mask_mode, use_exp2, prob_dtype,
+                mask_mode, use_exp2, prob_dtype, dimsem,
             )
         else:
             auto_q, auto_k = _auto_blocks(attn_mask)

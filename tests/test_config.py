@@ -132,25 +132,38 @@ def test_docs_config_reference_covers_all_keys():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     doc = open(os.path.join(root, "docs", "config.md")).read()
-    missing = [
-        k
-        for k in list(get_cfg_defaults_train())
-        + list(get_cfg_defaults_embedding_eval())
-        if f"`{k}`" not in doc and k not in doc
-    ]
-    assert not missing, f"undocumented config keys: {missing}"
+    # exact backticked occurrence only — a bare substring match would
+    # let short keys (`lr`, `clip`, `task`, …) hide inside other
+    # documented tokens
+    documented = set(re.findall(r"`([A-Za-z0-9_/|\\ ]+)`", doc))
 
-    # every MCA_* env knob read anywhere in the package
     import mca_tpu
 
     pkg = os.path.dirname(mca_tpu.__file__)
-    knobs = set()
+    # keys consumed via config.get(...) without a schema default
+    get_keys, knobs = set(), set()
     for dirpath, _, files in os.walk(pkg):
         for f in files:
             if f.endswith(".py"):
                 src = open(os.path.join(dirpath, f)).read()
+                get_keys |= set(
+                    re.findall(r'config\.get\(\s*"([a-z_0-9]+)"', src)
+                )
                 knobs |= set(re.findall(r'"(MCA_[A-Z0-9_]+)"', src))
+    # internal plumbing, not user-facing YAML keys: pipeline_stages /
+    # group_channels are model-config fields set from mesh_pipe /
+    # eao_group_channels
+    get_keys -= {"pipeline_stages", "group_channels"}
+    missing = [
+        k
+        for k in set(get_cfg_defaults_train())
+        | set(get_cfg_defaults_embedding_eval())
+        | get_keys
+        if k not in documented
+    ]
+    assert not missing, f"undocumented config keys: {sorted(missing)}"
+
     # cache-path override is documented via MCA_COMPILE_CACHE
     knobs.discard("MCA_FLASH_TUNE_CACHE")
-    undocumented = sorted(k for k in knobs if k not in doc)
+    undocumented = sorted(k for k in knobs if k not in documented)
     assert not undocumented, f"undocumented env knobs: {undocumented}"
