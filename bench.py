@@ -195,6 +195,32 @@ def main() -> None:
         lambda x: jnp.broadcast_to(x[None], (K,) + x.shape), batch
     )
 
+    # BENCH_XLA_OPTS="k=v;k=v": per-compile XLA options A/B (e.g.
+    # xla_tpu_scoped_vmem_limit_kib=65536).  compiler_options ride the
+    # compile REQUEST, so they reach the remote compiler — unlike
+    # client-side XLA_FLAGS env, which the relay does not forward.
+    if os.environ.get("BENCH_XLA_OPTS"):
+
+        def _coerce(v):
+            if v.lower() in ("true", "false"):
+                return v.lower() == "true"
+            try:
+                return int(v)
+            except ValueError:
+                return v
+
+        opts = {
+            k: _coerce(v)
+            for k, v in (
+                kv.split("=", 1)
+                for kv in os.environ["BENCH_XLA_OPTS"].split(";")
+                if kv
+            )
+        }
+        train_steps = train_steps.lower(state, stacked).compile(
+            compiler_options=opts
+        )
+
     # compile + warmup
     state, packed = train_steps(state, stacked)
     jax.block_until_ready(packed)

@@ -778,6 +778,26 @@ class DivergenceError(RuntimeError):
     train_accel_gpu.py:127-135)."""
 
 
+class PreemptedError(RuntimeError):
+    """Raised by the ``preempt_save`` guard after SIGTERM: training
+    stopped at a launch boundary with a clean root checkpoint (the
+    same layout ``n_step_checkpoint`` writes), so ``restart:
+    <output_dir>`` continues the exact trajectory.  TPU VMs are
+    routinely preempted (spot capacity, maintenance events) with a
+    SIGTERM and a short grace window; the reference has no handler and
+    loses everything since its last epoch checkpoint
+    (train_accel_gpu.py restart_cfg restarts at epoch boundaries
+    only)."""
+
+    def __init__(self, step: int, path: str):
+        super().__init__(
+            f"preempted at step {step}; state saved to {path} "
+            f"(resume with restart: {path})"
+        )
+        self.step = step
+        self.path = path
+
+
 def run_eval_epoch(
     config: Config,
     model_config: Dict[str, Any],
@@ -1403,79 +1423,157 @@ def train(config: Config) -> str:
     trace_dir = config.get("trace_dir", "")
     launches = 0
 
-    for epoch in range(start_epoch, config.epochs):
-        train_dl.set_epoch(epoch)
-        nb_done = _resume_skip[0]  # keep n_step buckets aligned
-        last_ckpt_bucket = (
-            nb_done // config.n_step_checkpoint
-            if config.n_step_checkpoint
-            else 0
-        )
-        if scan_mode and getattr(train_dl, "prefetch", 0) > 0:
-            # chunk-level producer thread: collation (loader thread)
-            # feeds stacking (this thread) feeds device_put (main)
-            from mca_tpu.data.dataset import _PrefetchIterator
+    # Preemption guard (``preempt_save``, default on): TPU VMs get a
+    # SIGTERM with a short grace window on spot preemption/maintenance.
+    # The handler only flips a flag; the loop acts on it at the next
+    # launch boundary, so the in-flight executable finishes and
+    # ``state`` is a consistent post-update snapshot.  Installable from
+    # the main thread only (CPython signal restriction) — library
+    # callers on worker threads simply run unguarded.
+    preempt_flag = [False]
+    _old_sigterm = None
+    if bool(config.get("preempt_save", True)):
+        import signal as _signal
+        import threading as _threading
 
-            stream = _PrefetchIterator(_chunk_stream, 1)
-        else:
-            stream = _chunk_stream()
-        try:
-            for payload, k in stream:
-                # only full-size chunks count toward the traced
-                # "post-warmup" launch: a remainder chunk compiles a
-                # fresh K-length graph, which would dominate the trace
-                if k == steps_per_call:
-                    launches += 1
-                if trace_dir and launches == 2 and k == steps_per_call:
-                    from mca_tpu.utils.logging import trace_context
+        if _threading.current_thread() is _threading.main_thread():
 
-                    with trace_context(trace_dir):
-                        state = flush_payload(state, payload, k, epoch)
-                else:
-                    state = flush_payload(state, payload, k, epoch)
-                nb_done += k
-                if config.n_step_checkpoint:
-                    bucket = nb_done // config.n_step_checkpoint
-                    if bucket != last_ckpt_bucket:
-                        last_ckpt_bucket = bucket
-                        ckpt.save_state(
-                            state_for_checkpoint(state),
-                            config.output_dir,
-                            asynchronous=True,
-                        )
-        finally:
-            close = getattr(stream, "close", None)
-            if close is not None:  # stop the producer on error paths
-                close()
+            def _on_sigterm(signum, frame):
+                preempt_flag[0] = True
+                logger.warning(
+                    "SIGTERM received — checkpointing and exiting at "
+                    "the next launch boundary"
+                )
+
+            _old_sigterm = _signal.signal(_signal.SIGTERM, _on_sigterm)
+
+    def _restore_sigterm():
+        nonlocal _old_sigterm
+        if _old_sigterm is not None:
+            import signal as _signal
+
+            _signal.signal(_signal.SIGTERM, _old_sigterm)
+            _old_sigterm = None
+
+    def _preempt_shutdown(st, epoch_):
+        """Clean stop: flush in-flight metrics, write the root-layout
+        state checkpoint that mid-epoch resume understands
+        (:func:`restore_state` + the loader fast-forward), drop a
+        ``preempted.json`` marker, raise :class:`PreemptedError`."""
         try:
-            drain_pending()  # epoch boundary: flush in-flight metrics
+            drain_pending()
         except DivergenceError:
-            _forensic_save(state)
+            _forensic_save(st)
             raise
-        # async: the disk write overlaps the next epoch's launches (the
-        # device->host copy completes before return, so donation-safe)
-        ckpt.save_state(
-            state_for_checkpoint(state),
-            os.path.join(config.output_dir, str(epoch)),
-            asynchronous=True,
+        ckpt.wait_for_saves()
+        ckpt.save_state(state_for_checkpoint(st), config.output_dir)
+        step = int(jax.device_get(st["step"]))
+        from mca_tpu.parallel.multihost import is_primary
+
+        if is_primary():
+            import json as _json
+
+            with open(
+                os.path.join(config.output_dir, "preempted.json"), "w"
+            ) as f:
+                _json.dump(
+                    {
+                        "step": step,
+                        "epoch": epoch_,
+                        "signal": "SIGTERM",
+                    },
+                    f,
+                )
+        logger.warning(
+            "preempted at step %d — state saved; resume with "
+            "restart: %s",
+            step,
+            config.output_dir,
         )
-        if config.get("checkpoint_keep", 0):
-            ckpt.wait_for_saves()  # don't prune a dir mid-write
-            _prune_checkpoints(
-                config.output_dir, epoch, config.checkpoint_keep
+        log.close()
+        raise PreemptedError(step, config.output_dir)
+
+    try:
+        for epoch in range(start_epoch, config.epochs):
+            train_dl.set_epoch(epoch)
+            nb_done = _resume_skip[0]  # keep n_step buckets aligned
+            last_ckpt_bucket = (
+                nb_done // config.n_step_checkpoint
+                if config.n_step_checkpoint
+                else 0
             )
-        if config.run_eval_loop:
-            run_eval_epoch(
-                config,
-                model_config,
-                eval_step,
-                current_params(state),
-                eval_dl,
-                mesh,
-                log,
-                int(state["step"]),
-                stage=_stage,
+            if scan_mode and getattr(train_dl, "prefetch", 0) > 0:
+                # chunk-level producer thread: collation (loader thread)
+                # feeds stacking (this thread) feeds device_put (main)
+                from mca_tpu.data.dataset import _PrefetchIterator
+
+                stream = _PrefetchIterator(_chunk_stream, 1)
+            else:
+                stream = _chunk_stream()
+            try:
+                for payload, k in stream:
+                    # only full-size chunks count toward the traced
+                    # "post-warmup" launch: a remainder chunk compiles a
+                    # fresh K-length graph, which would dominate the trace
+                    if k == steps_per_call:
+                        launches += 1
+                    if trace_dir and launches == 2 and k == steps_per_call:
+                        from mca_tpu.utils.logging import trace_context
+
+                        with trace_context(trace_dir):
+                            state = flush_payload(state, payload, k, epoch)
+                    else:
+                        state = flush_payload(state, payload, k, epoch)
+                    nb_done += k
+                    if preempt_flag[0]:
+                        _preempt_shutdown(state, epoch)
+                    if config.n_step_checkpoint:
+                        bucket = nb_done // config.n_step_checkpoint
+                        if bucket != last_ckpt_bucket:
+                            last_ckpt_bucket = bucket
+                            ckpt.save_state(
+                                state_for_checkpoint(state),
+                                config.output_dir,
+                                asynchronous=True,
+                            )
+            finally:
+                close = getattr(stream, "close", None)
+                if close is not None:  # stop the producer on error paths
+                    close()
+            try:
+                drain_pending()  # epoch boundary: flush in-flight metrics
+            except DivergenceError:
+                _forensic_save(state)
+                raise
+            # async: the disk write overlaps the next epoch's launches (the
+            # device->host copy completes before return, so donation-safe)
+            ckpt.save_state(
+                state_for_checkpoint(state),
+                os.path.join(config.output_dir, str(epoch)),
+                asynchronous=True,
             )
+            if config.get("checkpoint_keep", 0):
+                ckpt.wait_for_saves()  # don't prune a dir mid-write
+                _prune_checkpoints(
+                    config.output_dir, epoch, config.checkpoint_keep
+                )
+            if config.run_eval_loop:
+                run_eval_epoch(
+                    config,
+                    model_config,
+                    eval_step,
+                    current_params(state),
+                    eval_dl,
+                    mesh,
+                    log,
+                    int(state["step"]),
+                    stage=_stage,
+                )
+    finally:
+        # all exits (normal, preempt, divergence, unexpected)
+        # hand SIGTERM back — a leaked handler would flip a dead
+        # flag on the next train() in this process
+        _restore_sigterm()
     drain_pending()
     ckpt.wait_for_saves()
     final_params = current_params(state)
@@ -1534,7 +1632,14 @@ def main(argv=None) -> None:
                 "(auto-timestamped dirs race across hosts)"
             )
     config = training_config(argv[0])
-    train(config)
+    try:
+        train(config)
+    except PreemptedError as e:
+        # EX_TEMPFAIL: the orchestrator should reschedule with
+        # ``restart: <output_dir>`` (or just re-run — the marker +
+        # root checkpoint carry the step)
+        logger.warning("%s", e)
+        sys.exit(75)
 
 
 if __name__ == "__main__":
