@@ -117,6 +117,66 @@ def clamp_logit_scale() -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
+def _with_state_dtype(
+    inner: optax.GradientTransformation, dtype
+) -> optax.GradientTransformation:
+    """Store ``inner``'s float state leaves (AdamW's mu/nu moments) in
+    ``dtype``; every update still computes in fp32 (moments are upcast
+    on entry, rounded back for storage).
+
+    ``moment_dtype: bf16`` cuts optimizer-state HBM by half on the
+    moments (state goes 3P -> 2P bytes with fp32 params) — the
+    production memory lever for models big enough that the parameter
+    state competes with activations.  The reference trains fp32
+    AdamW only (train_accel_gpu.py:75-80); this is a TPU-side
+    extension, default off, trajectory pinned close to fp32 in
+    tests/test_optimizer_state.py.  The planner and memory_report
+    account for it automatically (state shapes come from
+    ``jax.eval_shape`` of the real init).
+    """
+
+    def _cast(tree, to_dtype):
+        def leaf(x):
+            if jnp.issubdtype(
+                jnp.asarray(x).dtype, jnp.floating
+            ):
+                return jnp.asarray(x).astype(to_dtype)
+            return x
+
+        return jax.tree.map(leaf, tree)
+
+    def init(params):
+        return _cast(inner.init(params), dtype)
+
+    def update(updates, state, params=None):
+        updates, new_state = inner.update(
+            updates, _cast(state, jnp.float32), params
+        )
+        return updates, _cast(new_state, dtype)
+
+    return optax.GradientTransformation(init, update)
+
+
+def _make_adamw(config: Config, schedule) -> optax.GradientTransformation:
+    """The AdamW core both state modes share, honoring
+    ``moment_dtype`` (fp32 default | bf16 half-width moments)."""
+    adamw = optax.adamw(
+        schedule,
+        b1=0.9,
+        b2=0.999,
+        eps=1e-8,
+        weight_decay=0.01,  # torch AdamW default
+    )
+    moment_dtype = str(config.get("moment_dtype", "fp32"))
+    if moment_dtype == "bf16":
+        adamw = _with_state_dtype(adamw, jnp.bfloat16)
+    elif moment_dtype != "fp32":
+        raise ValueError(
+            f"moment_dtype must be fp32 or bf16, got {moment_dtype!r}"
+        )
+    return adamw
+
+
 def make_optimizer(
     config: Config, num_training_steps: int
 ) -> optax.GradientTransformation:
@@ -129,15 +189,7 @@ def make_optimizer(
     chain = []
     if config.clip:
         chain.append(optax.clip_by_global_norm(config.clip))
-    chain.append(
-        optax.adamw(
-            schedule,
-            b1=0.9,
-            b2=0.999,
-            eps=1e-8,
-            weight_decay=0.01,  # torch AdamW default
-        )
-    )
+    chain.append(_make_adamw(config, schedule))
     inner = optax.chain(*chain)
     # flattening folds the moments into ONE raveled vector whose length
     # is rarely divisible by the data axis — under fsdp that would
@@ -635,11 +687,7 @@ def make_flat_apparatus(
     chain = []
     if config.clip:
         chain.append(optax.clip_by_global_norm(config.clip))
-    chain.append(
-        optax.adamw(
-            schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01
-        )
-    )
+    chain.append(_make_adamw(config, schedule))
     chain.append(clamp_logit_scale_flat(flat_mask))
     return flat0, unravel, optax.chain(*chain)
 
