@@ -27,10 +27,16 @@ OUT = os.path.join(REPO, "baselines", "sweep_xla_opts_results.jsonl")
 
 def main():
     part = sys.argv[1] if len(sys.argv) > 1 else "tcga"
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     arms = [
         ("base", ""),
         ("lhs_off", "xla_latency_hiding_scheduler_rerun=0;"
                     "xla_tpu_enable_latency_hiding_scheduler=false"),
+        # scoped-VMEM curve: 32/64/96 MiB measured monotonically WORSE
+        # (fusion scratch steals VMEM from the Mosaic kernel pipeline);
+        # 8/16 MiB bracket the backend default from below
+        ("vmem_8m", "xla_tpu_scoped_vmem_limit_kib=8192"),
+        ("vmem_16m", "xla_tpu_scoped_vmem_limit_kib=16384"),
         ("vmem_32m", "xla_tpu_scoped_vmem_limit_kib=32768"),
         ("vmem_64m", "xla_tpu_scoped_vmem_limit_kib=65536"),
         ("vmem_96m", "xla_tpu_scoped_vmem_limit_kib=98304"),
@@ -38,6 +44,8 @@ def main():
     datasets = ["tcga", "cmu"] if part == "all" else [part]
     for ds in datasets:
         for tag, opts in arms:
+            if only is not None and tag not in only:
+                continue
             env = {"BENCH_DATASET": ds}
             if opts:
                 env["BENCH_XLA_OPTS"] = opts

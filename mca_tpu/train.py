@@ -27,6 +27,7 @@ forward, ref utils/contrastive_loss_with_temperature.py:156-187).
 
 from __future__ import annotations
 
+import json
 import logging
 import sys
 import os
@@ -826,6 +827,40 @@ class DivergenceError(RuntimeError):
     train_accel_gpu.py:127-135)."""
 
 
+def make_wandb_config(config: Config):
+    """wandb.init kwargs for this run, or None when wandb is off.
+
+    Resume precedence: an explicit ``wandb_restart: <id>`` resumes
+    that run with ``resume="must"`` (ref train_accel_gpu.py:60-62);
+    otherwise, when ``restart:`` points at a preempted run's output
+    dir, the ``preempted.json`` marker's recorded ``wandb_id`` is
+    resumed with ``resume="allow"`` (forgiving: a marker copied to a
+    machine without that wandb backend still starts cleanly) — the
+    spot-reschedule loop reattaches to the SAME wandb run with no
+    manual id copying."""
+    if not config.wandb:
+        return None
+    wandb_cfg = {
+        "project": config.wandb_name,
+        "entity": config.wandb_account_name or None,
+        "config": config.to_plain(),
+    }
+    if config.get("wandb_restart", ""):
+        wandb_cfg["id"] = config.wandb_restart
+        wandb_cfg["resume"] = "must"
+    elif config.restart:
+        marker = os.path.join(config.restart, "preempted.json")
+        try:
+            with open(marker) as f:
+                wandb_id = json.load(f).get("wandb_id")
+        except (OSError, ValueError):
+            wandb_id = None
+        if wandb_id:
+            wandb_cfg["id"] = wandb_id
+            wandb_cfg["resume"] = "allow"
+    return wandb_cfg
+
+
 class PreemptedError(RuntimeError):
     """Raised by the ``preempt_save`` guard after SIGTERM: training
     stopped at a launch boundary with a clean root checkpoint (the
@@ -1092,18 +1127,7 @@ def train(config: Config) -> str:
     n_proc = jax.process_count()
     _stage = make_stager(mesh, int(config.batch_size))
 
-    wandb_cfg = None
-    if config.wandb:
-        wandb_cfg = {
-            "project": config.wandb_name,
-            "entity": config.wandb_account_name or None,
-            "config": config.to_plain(),
-        }
-        if config.get("wandb_restart", ""):
-            # resume the crashed run's wandb id (ref
-            # train_accel_gpu.py:60-62: id=..., resume="must")
-            wandb_cfg["id"] = config.wandb_restart
-            wandb_cfg["resume"] = "must"
+    wandb_cfg = make_wandb_config(config)
     from mca_tpu.parallel.multihost import is_primary
 
     if is_primary():
@@ -1519,16 +1543,17 @@ def train(config: Config) -> str:
         from mca_tpu.parallel.multihost import is_primary
 
         if is_primary():
-            import json as _json
-
             with open(
                 os.path.join(config.output_dir, "preempted.json"), "w"
             ) as f:
-                _json.dump(
+                json.dump(
                     {
                         "step": step,
                         "epoch": epoch_,
                         "signal": "SIGTERM",
+                        # the rescheduled run reattaches to this wandb
+                        # run automatically (make_wandb_config)
+                        "wandb_id": getattr(log, "wandb_id", None),
                     },
                     f,
                 )

@@ -70,6 +70,14 @@ class JSONLLogger:
             except Exception:
                 self._wandb = None  # wandb absent: JSONL only
 
+    @property
+    def wandb_id(self) -> Optional[str]:
+        """The active wandb run id (None when mirroring is off) — the
+        preemption marker records it so a rescheduled run resumes the
+        SAME wandb run (ref train_accel_gpu.py:60-62 semantics without
+        the user having to copy the id by hand)."""
+        return self._wandb.id if self._wandb is not None else None
+
     def log(self, metrics: Dict[str, Any], step: Optional[int] = None):
         record = {k: _to_scalar(v) for k, v in metrics.items()}
         if step is not None:

@@ -142,3 +142,45 @@ def test_preempted_error_carries_resume_path():
     err = PreemptedError(7, "/tmp/out")
     assert err.step == 7 and err.path == "/tmp/out"
     assert "restart: /tmp/out" in str(err)
+
+
+def test_wandb_autoresume_from_preempted_marker(tmp_path):
+    """restart: <preempted output dir> reattaches to the marker's
+    recorded wandb run (resume=allow); an explicit wandb_restart
+    still wins with the reference's resume=must semantics."""
+    from mca_tpu.train import make_wandb_config
+
+    def cfg(**over):
+        d = tiny_config("tcga", widths=WIDTHS)
+        d.update(
+            {"wandb": True, "wandb_name": "proj", "output_dir": "x"},
+            **over,
+        )
+        return training_config_from_dict(d)
+
+    assert make_wandb_config(cfg(wandb=False)) is None
+    assert "id" not in make_wandb_config(cfg())
+
+    marked = tmp_path / "out_pre"
+    marked.mkdir()
+    (marked / "preempted.json").write_text(
+        json.dumps({"step": 3, "wandb_id": "abc123"})
+    )
+    auto = make_wandb_config(cfg(restart=str(marked)))
+    assert auto["id"] == "abc123" and auto["resume"] == "allow"
+
+    explicit = make_wandb_config(
+        cfg(restart=str(marked), wandb_restart="zzz")
+    )
+    assert explicit["id"] == "zzz" and explicit["resume"] == "must"
+
+    # marker from a JSONL-only run records wandb_id null — no resume
+    (marked / "preempted.json").write_text(
+        json.dumps({"step": 3, "wandb_id": None})
+    )
+    assert "id" not in make_wandb_config(cfg(restart=str(marked)))
+
+    # restart from a NON-preempted checkpoint dir: no marker, no id
+    plain = tmp_path / "out_plain"
+    plain.mkdir()
+    assert "id" not in make_wandb_config(cfg(restart=str(plain)))
