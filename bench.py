@@ -94,6 +94,10 @@ def main() -> None:
         if os.environ.get(env):
             scale_overrides[key] = int(os.environ[env])
     overrides.update(scale_overrides)
+    # BENCH_MOMENT_DTYPE=bf16: half-width AdamW moments A/B (PERF.md
+    # round 3: memory 3P->2P, throughput-neutral at canonical scale)
+    if os.environ.get("BENCH_MOMENT_DTYPE"):
+        overrides["moment_dtype"] = os.environ["BENCH_MOMENT_DTYPE"]
     variant = os.environ.get("BENCH_VARIANT", "")  # "" | zorro | eao
     if variant == "zorro":
         overrides["zorro"] = True

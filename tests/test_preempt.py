@@ -35,6 +35,10 @@ def _cfg_dict(tmp_path, out_name):
         epochs=EPOCHS,
         lr=2e-3,
         num_warmup_steps=2,
+        # production-shaped path: K-step scan launches + flat-vector
+        # state (CPU's auto would pick K=1) — SIGTERM lands mid-launch
+        # and the guard must stop at a LAUNCH boundary, not a step
+        steps_per_call=4,
     )
     cfg["dataset"] = str(tmp_path / "ds")
     cfg["output_dir"] = str(tmp_path / out_name)
