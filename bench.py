@@ -98,6 +98,13 @@ def main() -> None:
     # round 3: memory 3P->2P, throughput-neutral at canonical scale)
     if os.environ.get("BENCH_MOMENT_DTYPE"):
         overrides["moment_dtype"] = os.environ["BENCH_MOMENT_DTYPE"]
+    # BENCH_MOE=E: mixture-of-experts FF A/B (extension,
+    # mca_tpu.models.moe — expert-choice routing; the dense GEGLU is
+    # replaced by E experts, ~E/cf x the FF params at cf x the FF
+    # token-FLOPs).  The analytic MFU model below counts the dense-FF
+    # FLOPs only, so tok/s is the honest cross-arm metric.
+    if os.environ.get("BENCH_MOE"):
+        overrides["moe_experts"] = int(os.environ["BENCH_MOE"])
     variant = os.environ.get("BENCH_VARIANT", "")  # "" | zorro | eao
     if variant == "zorro":
         overrides["zorro"] = True

@@ -154,6 +154,14 @@ def get_cfg_defaults_train() -> Config:
                                          # its own contrastive loss — DDP-rank
                                          # semantics — and activations peak at
                                          # one microbatch)
+            "moe_experts": 0,            # mixture-of-experts FF (extension):
+                                         # 0 = the reference's dense GEGLU;
+                                         # E > 0 = E expert-choice GEGLU
+                                         # experts per block, expert dim
+                                         # sharded over the 'model' mesh axis
+                                         # (expert parallelism)
+            "moe_capacity_factor": 2.0,  # expert-choice capacity: each expert
+                                         # processes cf*T/E tokens per sample
             "halt_on_nan": True,         # failure detection: halt with a
                                          # forensic checkpoint when the
                                          # total loss goes non-finite
@@ -311,6 +319,11 @@ def get_model_config(config: Config) -> Dict[str, Any]:
         # Megatron sequence parallelism (needs mesh_model > 1;
         # train() injects the live Mesh as 'seq_shard_mesh')
         "seq_shard": bool(config.get("seq_shard", False)),
+        # mixture-of-experts FF (extension, mca_tpu.models.moe)
+        "moe_experts": int(config.get("moe_experts", 0) or 0),
+        "moe_capacity_factor": float(
+            config.get("moe_capacity_factor", 2.0)
+        ),
         # EAO-only (build_model filters by dataclass fields); grouping
         # measured slower at canonical scale (PERF.md round 3), so the
         # default is the reference's sequential pass structure

@@ -128,12 +128,28 @@ def build_key_map(params: Dict[str, Any]) -> KeyMap:
                         "linear",
                     )
                 )
-            out.append(
-                ((key, "ff", "w_in", "kernel"), f"layers.{i}.ff.feedforward.0.weight", "linear")
-            )
-            out.append(
-                ((key, "ff", "w_out", "kernel"), f"layers.{i}.ff.feedforward.2.weight", "linear")
-            )
+            ff = tree.get("ff", {})
+            if isinstance(ff, dict) and "router" in ff:
+                # MoE extension (mca_tpu.models.moe) — no reference
+                # counterpart exists, so export under extension names;
+                # "direct" (no transpose) so import round-trips the
+                # stacked [E, ...] expert matrices untouched.
+                out.append(
+                    ((key, "ff", "router"), f"layers.{i}.ff.router.weight", "direct")
+                )
+                out.append(
+                    ((key, "ff", "w_in"), f"layers.{i}.ff.experts.w_in", "direct")
+                )
+                out.append(
+                    ((key, "ff", "w_out"), f"layers.{i}.ff.experts.w_out", "direct")
+                )
+            else:
+                out.append(
+                    ((key, "ff", "w_in", "kernel"), f"layers.{i}.ff.feedforward.0.weight", "linear")
+                )
+                out.append(
+                    ((key, "ff", "w_out", "kernel"), f"layers.{i}.ff.feedforward.2.weight", "linear")
+                )
             out.append(
                 ((key, "norm", "LayerNorm_0", "scale"), f"layers.{i}.norm.gamma", "direct")
             )

@@ -60,6 +60,9 @@ class EAO(nn.Module):
     #: batch-axis concat/slice copies cost real HBM traffic.  Kept as
     #: an opt-in A/B knob (`eao_group_channels: true`).
     group_channels: bool = False
+    # mixture-of-experts FF (extension, mca_tpu.models.moe): 0 = dense
+    moe_experts: int = 0
+    moe_capacity_factor: float = 2.0
 
     def setup(self) -> None:
         assert self.mean_pool, (
@@ -89,6 +92,8 @@ class EAO(nn.Module):
                 # O(T) memory in the backward across the 15 passes
                 attn_impl=self.attention_impl,
                 quant=self.quant,
+                moe_experts=int(self.moe_experts),
+                moe_capacity_factor=float(self.moe_capacity_factor),
                 name=f"layer_{i}",
             )
             for i in range(self.depth)

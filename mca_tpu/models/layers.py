@@ -208,6 +208,11 @@ class MCALayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "dense"
     quant: str = "none"
+    # mixture-of-experts FF (extension — see mca_tpu.models.moe):
+    # 0 = the reference's dense GEGLU; E > 0 = E expert-choice GEGLU
+    # experts, expert dim sharded over the 'model' mesh axis (EP)
+    moe_experts: int = 0
+    moe_capacity_factor: float = 2.0
 
     def setup(self) -> None:
         self.attn = Attention(
@@ -219,13 +224,29 @@ class MCALayer(nn.Module):
             quant=self.quant,
             name="attn",
         )
-        self.ff = FeedForward(
-            dim=self.dim,
-            mult=self.ff_mult,
-            dtype=self.dtype,
-            quant=self.quant,
-            name="ff",
-        )
+        if int(self.moe_experts) > 0:
+            assert self.quant == "none", (
+                "int8 serving quantization covers the dense "
+                "projections only; moe_experts requires quant='none'"
+            )
+            from mca_tpu.models.moe import MoEFeedForward
+
+            self.ff = MoEFeedForward(
+                dim=self.dim,
+                num_experts=int(self.moe_experts),
+                mult=self.ff_mult,
+                capacity_factor=float(self.moe_capacity_factor),
+                dtype=self.dtype,
+                name="ff",
+            )
+        else:
+            self.ff = FeedForward(
+                dim=self.dim,
+                mult=self.ff_mult,
+                dtype=self.dtype,
+                quant=self.quant,
+                name="ff",
+            )
         # ONE norm instance, applied before both sub-layers — parameter
         # sharing faithful to the reference.
         self.norm = LayerNorm(name="norm")
@@ -249,7 +270,13 @@ class MCALayer(nn.Module):
             attn_out, attn_weights = attn_out
         x = attn_out.astype(x.dtype) + x
         x = self.norm(x)
-        x = self.ff(x).astype(x.dtype) + x
+        if int(self.moe_experts) > 0:
+            # the router sees the padding mask so experts spend their
+            # capacity on real tokens (mca_tpu.models.moe)
+            ff_out = self.ff(x, padding_mask)
+        else:
+            ff_out = self.ff(x)
+        x = ff_out.astype(x.dtype) + x
         if return_attn:
             return x, attn_weights
         return x

@@ -88,6 +88,12 @@ class MCA(nn.Module):
     # when TP is on.  Requires ``seq_shard_mesh``.
     seq_shard: bool = False
     seq_shard_mesh: Optional[Any] = None
+    # Mixture-of-experts FF (extension — mca_tpu.models.moe): 0 keeps
+    # the reference's dense GEGLU; E > 0 builds E expert-choice GEGLU
+    # experts per block, expert dim sharded over the 'model' mesh axis
+    # (expert parallelism) by the partition rules.
+    moe_experts: int = 0
+    moe_capacity_factor: float = 2.0
 
     def setup(self) -> None:
         # mean pooling collapses ALL fusion tokens into one vector, so
@@ -125,6 +131,8 @@ class MCA(nn.Module):
                 dtype=dtype,
                 attn_impl=self.attention_impl,
                 quant=self.quant,
+                moe_experts=int(self.moe_experts),
+                moe_capacity_factor=float(self.moe_capacity_factor),
                 name=f"layer_{i}",
             )
             for i in range(self.depth)

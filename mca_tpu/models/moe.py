@@ -1,0 +1,140 @@
+"""Mixture-of-experts feedforward with expert-choice routing.
+
+A TPU-native capability EXTENSION (the reference's FF is always dense,
+ref model.py:35-54): ``moe_experts: E`` in a train config replaces
+every transformer block's GEGLU :class:`~mca_tpu.models.layers.FeedForward`
+with ``E`` GEGLU experts routed per token, giving the sparse-FF scaling
+axis (more parameters at near-constant per-token FLOPs) plus **expert
+parallelism** — the stacked expert parameters shard over the mesh's
+``model`` axis (``mca_tpu.parallel.sharding``), so a fleet holds E/tp
+experts per device and the XLA partitioner places the token
+all-to-alls.
+
+Design: **expert choice** routing (Zhou et al. 2022, "Mixture-of-
+Experts with Expert Choice Routing") rather than token-choice top-k:
+
+- each expert selects its top-``C`` tokens by router score, with
+  ``C = capacity_factor * T / E`` — perfect load balance by
+  construction, so NO auxiliary balancing loss is needed (the train
+  loop, loss graph, and logging are untouched);
+- every shape is static: the dispatch/combine are one-hot einsums, XLA
+  tiles them onto the MXU, nothing is data-dependent but the gather
+  indices;
+- routing is PER SAMPLE (experts pick tokens within each row of the
+  batch), so a sample's embedding never depends on what else shared
+  its batch — required for the deterministic inference/serving
+  contract (`mca_tpu.infer` / `mca_tpu.serve`).
+
+A token may be picked by several experts (outputs sum, weighted by the
+router score) or by none (the FF contribution is zero and the block's
+residual carries the token — the expert-choice analogue of dropping).
+Padded tokens route with score zero, so experts prefer real tokens and
+a padded token that is still picked contributes nothing.
+
+Exactness anchors (tests/test_moe.py): with ``E=1, capacity_factor=1``
+the module reproduces the dense GEGLU FeedForward on unpadded input
+up to fp32 einsum association; the einsum dispatch/combine is pinned
+against a per-token python-loop oracle for values AND gradients; the
+expert-parallel sharded step is pinned against the replicated step on
+the virtual mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mca_tpu.encoders import torch_linear_init
+
+Array = jax.Array
+
+#: per-expert kaiming-uniform matching ``torch_linear_init`` — the
+#: leading expert dim is a batch axis, so fan_in stays the matrix's
+#: own input width (same scale as the dense FF it replaces).
+stacked_linear_init = jax.nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform", in_axis=-2, out_axis=-1,
+    batch_axis=(0,),
+)
+
+
+def expert_capacity(
+    seq_len: int, num_experts: int, capacity_factor: float
+) -> int:
+    """Tokens each expert processes: ``cf * T / E``, clamped to
+    ``[1, T]`` (static — part of the jit signature)."""
+    cap = int(round(capacity_factor * seq_len / num_experts))
+    return max(1, min(seq_len, cap))
+
+
+class MoEFeedForward(nn.Module):
+    """Expert-choice GEGLU MoE, drop-in for ``FeedForward``.
+
+    Parameters live under the SAME ``ff`` module name as the dense
+    feedforward they replace: ``router`` ``[dim, E]``, ``w_in``
+    ``[E, dim, 2*inner]``, ``w_out`` ``[E, inner, dim]`` — the
+    partition rules shard the expert dim over ``model``
+    (:mod:`mca_tpu.parallel.sharding`).
+    """
+
+    dim: int
+    num_experts: int
+    mult: float = 4
+    capacity_factor: float = 2.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: Array, padding_mask: Optional[Array] = None
+    ) -> Array:
+        assert self.num_experts >= 1
+        B, T, D = x.shape
+        E = self.num_experts
+        C = expert_capacity(T, E, self.capacity_factor)
+        inner = int(self.dim * self.mult * 2 / 3)
+
+        router = self.param("router", torch_linear_init, (D, E))
+        w_in = self.param(
+            "w_in", stacked_linear_init, (E, D, inner * 2)
+        )
+        w_out = self.param(
+            "w_out", stacked_linear_init, (E, inner, D)
+        )
+
+        # --- routing: fp32 scores, softmax over experts per token
+        logits = jnp.einsum(
+            "btd,de->bte", x.astype(jnp.float32), router
+        )
+        scores = jax.nn.softmax(logits, axis=-1)
+        if padding_mask is not None:
+            # padded tokens score 0 — sorted after every real token
+            # (softmax scores are strictly positive), and a padded
+            # token picked only because C exceeds the real-token count
+            # combines with weight 0.
+            scores = jnp.where(
+                padding_mask[..., None].astype(bool), 0.0, scores
+            )
+        # each expert picks its top-C tokens of the sample
+        gates, token_idx = jax.lax.top_k(
+            scores.transpose(0, 2, 1), C
+        )  # [B, E, C]
+
+        compute = self.dtype
+        dispatch = jax.nn.one_hot(
+            token_idx, T, dtype=compute
+        )  # [B, E, C, T]
+        xe = jnp.einsum(
+            "bect,btd->becd", dispatch, x.astype(compute)
+        )
+        h = jnp.einsum("becd,edf->becf", xe, w_in.astype(compute))
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = jax.nn.gelu(gate, approximate=False) * h
+        out = jnp.einsum("becf,efd->becd", h, w_out.astype(compute))
+        return jnp.einsum(
+            "bect,bec,becd->btd",
+            dispatch,
+            gates.astype(compute),
+            out,
+        )

@@ -39,6 +39,15 @@ _RULES = [
     (("attn", "to_out", "kernel"), P("model", None)),
     (("ff", "w_in", "kernel"), P(None, "model")),
     (("ff", "w_out", "kernel"), P("model", None)),
+    # mixture-of-experts FF (mca_tpu.models.moe): the stacked expert
+    # matrices [E, ...] shard their EXPERT dim over 'model' — expert
+    # parallelism: each device holds E/tp experts and the partitioner
+    # places the token all-to-alls around the dispatch/combine
+    # einsums.  (The dense-FF rules above carry a trailing 'kernel'
+    # path component, so they match first and these never touch the
+    # dense layout; the router matches nothing and stays replicated.)
+    (("ff", "w_in"), P("model")),
+    (("ff", "w_out"), P("model")),
 ]
 
 
