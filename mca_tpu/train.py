@@ -1673,6 +1673,14 @@ def train(config: Config) -> str:
             )
         except Exception:
             logger.exception("safetensors export failed (non-fatal)")
+    if _is_primary():
+        # the marker means "preempted and unfinished": clear a stale
+        # one from an earlier SIGTERM so a future restart of this
+        # (now completed) dir does not re-attach to the old wandb run
+        try:
+            os.remove(os.path.join(config.output_dir, "preempted.json"))
+        except OSError:
+            pass
     log.close()
     return config.output_dir
 

@@ -125,7 +125,11 @@ def test_sigterm_checkpoints_and_resume_matches_uninterrupted(tmp_path):
 
 def test_preempt_guard_restores_prior_handler(tmp_path):
     """train() must hand SIGTERM back on every exit path — a leaked
-    handler would flip a dead flag on the next run in this process."""
+    handler would flip a dead flag on the next run in this process.
+    Also: clean completion clears a stale ``preempted.json`` (the
+    marker means "preempted and unfinished" — leaving it would make a
+    future restart of the COMPLETED dir reattach to the old wandb
+    run via make_wandb_config)."""
     calls = []
     prev = signal.signal(signal.SIGTERM, lambda s, f: calls.append(s))
     try:
@@ -133,7 +137,12 @@ def test_preempt_guard_restores_prior_handler(tmp_path):
         to_hf_dataset(samples).save_to_disk(str(tmp_path / "ds"))
         cfg = _cfg_dict(tmp_path, "out")
         cfg["epochs"] = 1
+        os.makedirs(cfg["output_dir"], exist_ok=True)
+        marker = os.path.join(cfg["output_dir"], "preempted.json")
+        with open(marker, "w") as f:
+            json.dump({"step": 1, "wandb_id": "stale"}, f)
         train(training_config_from_dict(cfg))
+        assert not os.path.exists(marker)
         handler = signal.getsignal(signal.SIGTERM)
         assert handler is not signal.SIG_DFL
         os.kill(os.getpid(), signal.SIGTERM)

@@ -227,28 +227,27 @@ def test_attention_maps_method():
 
 def test_wandb_restart_config_plumbs_resume():
     """wandb_restart -> wandb.init(id=..., resume='must') (ref
-    train_accel_gpu.py:60-62).  Checked at the config-assembly level
-    by replicating train()'s wandb_cfg construction."""
+    train_accel_gpu.py:60-62) — pinned against the REAL assembly
+    function train() calls (mca_tpu.train.make_wandb_config)."""
+    from mca_tpu.train import make_wandb_config
+
     cfg = training_config_from_dict(
         tiny_config("tcga", wandb=True, wandb_restart="run123")
     )
-    wandb_cfg = {
-        "project": cfg.wandb_name,
-        "entity": cfg.wandb_account_name or None,
-        "config": cfg.to_plain(),
-    }
-    if cfg.get("wandb_restart", ""):
-        wandb_cfg["id"] = cfg.wandb_restart
-        wandb_cfg["resume"] = "must"
+    wandb_cfg = make_wandb_config(cfg)
     assert wandb_cfg["id"] == "run123"
     assert wandb_cfg["resume"] == "must"
-    # and train.py actually contains the wiring
-    import inspect
+    assert wandb_cfg["project"] == cfg.wandb_name
 
-    import mca_tpu.train as T
+    # without wandb_restart there is no forced resume
+    cfg2 = training_config_from_dict(tiny_config("tcga", wandb=True))
+    wandb_cfg2 = make_wandb_config(cfg2)
+    assert "id" not in wandb_cfg2 and "resume" not in wandb_cfg2
 
-    src = inspect.getsource(T.train)
-    assert "wandb_restart" in src and '"must"' in src
+    # wandb off -> no config at all
+    assert make_wandb_config(
+        training_config_from_dict(tiny_config("tcga"))
+    ) is None
 
 
 def test_reproduce_respects_explicit_dataset_and_bare_sections(
