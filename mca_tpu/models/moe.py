@@ -17,8 +17,15 @@ Experts with Expert Choice Routing") rather than token-choice top-k:
   ``C = capacity_factor * T / E`` — perfect load balance by
   construction, so NO auxiliary balancing loss is needed (the train
   loop, loss graph, and logging are untouched);
-- every shape is static: the dispatch/combine are one-hot einsums, XLA
-  tiles them onto the MXU, nothing is data-dependent but the gather
+- every shape is static: the dispatch/combine are one-hot einsums —
+  O(cf*T^2*D) matmul FLOPs, but they ride the MXU and MEASURE FASTER
+  on the real chip than the O(cf*T*D) gather/scatter alternative
+  (E=2 full train step 84.9 ms one-hot vs 93.8 ms gather; TPU
+  scatter-add is the slow path, not the extra matmul FLOPs — PERF.md
+  round 3).  The gather/scatter arm is kept behind
+  ``MCA_MOE_IMPL=gather`` (pinned == one-hot for values and grads,
+  tests/test_moe.py) for much longer sequences, where the T^2 term
+  must eventually win; nothing is data-dependent but the gather
   indices;
 - routing is PER SAMPLE (experts pick tokens within each row of the
   batch), so a sample's embedding never depends on what else shared
@@ -41,6 +48,7 @@ the virtual mesh.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -121,20 +129,50 @@ class MoEFeedForward(nn.Module):
             scores.transpose(0, 2, 1), C
         )  # [B, E, C]
 
+        # introspection hooks (mca_tpu.tools.moe_stats): no-ops unless
+        # apply() is called with mutable=["intermediates"], so the
+        # training/inference hot paths trace nothing extra
+        self.sow("intermediates", "router_scores", scores)
+        self.sow("intermediates", "token_idx", token_idx)
+        self.sow("intermediates", "gates", gates)
+
         compute = self.dtype
-        dispatch = jax.nn.one_hot(
-            token_idx, T, dtype=compute
-        )  # [B, E, C, T]
-        xe = jnp.einsum(
-            "bect,btd->becd", dispatch, x.astype(compute)
-        )
+        impl = os.environ.get("MCA_MOE_IMPL", "onehot")
+        if impl == "onehot":
+            # one-hot matmul dispatch/combine: O(E*C*T*D) =
+            # O(cf*T^2*D) FLOPs, but pure MXU work — measured FASTER
+            # at the canonical packed T=2548 than the gather/scatter
+            # arm below (E=2 step 84.9 vs 93.8 ms; TPU scatter-add
+            # serialises, matmuls don't — PERF.md round 3).
+            dispatch = jax.nn.one_hot(
+                token_idx, T, dtype=compute
+            )  # [B, E, C, T]
+            xe = jnp.einsum(
+                "bect,btd->becd", dispatch, x.astype(compute)
+            )
+        else:
+            # gather dispatch / scatter-add combine: O(cf*T*D) data
+            # movement, no T^2 term — the asymptotic win for much
+            # longer sequences, measured slower at T=2548 (above)
+            xe = jnp.take_along_axis(
+                x.astype(compute)[:, None],  # [B, 1, T, D]
+                token_idx[..., None],  # [B, E, C, 1]
+                axis=2,
+            )  # [B, E, C, D]
         h = jnp.einsum("becd,edf->becf", xe, w_in.astype(compute))
         h, gate = jnp.split(h, 2, axis=-1)
         h = jax.nn.gelu(gate, approximate=False) * h
         out = jnp.einsum("becf,efd->becd", h, w_out.astype(compute))
-        return jnp.einsum(
-            "bect,bec,becd->btd",
-            dispatch,
-            gates.astype(compute),
-            out,
-        )
+        if impl == "onehot":
+            return jnp.einsum(
+                "bect,bec,becd->btd",
+                dispatch,
+                gates.astype(compute),
+                out,
+            )
+        weighted = gates.astype(compute)[..., None] * out  # [B, E, C, D]
+        combined = jnp.zeros((B, T, D), compute)
+        b_idx = jnp.arange(B)[:, None, None]
+        # duplicate token indices (a token picked by several experts)
+        # accumulate, matching the one-hot combine's sum
+        return combined.at[b_idx, token_idx].add(weighted)

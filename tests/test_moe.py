@@ -121,6 +121,42 @@ def test_dispatch_matches_loop_oracle(with_padding):
         )
 
 
+@pytest.mark.parametrize("with_padding", [False, True])
+def test_gather_impl_matches_onehot_oracle(with_padding, monkeypatch):
+    """The gather/scatter dispatch arm (O(cf*T*D)) equals the default
+    one-hot einsum pair (O(cf*T^2*D)) for values AND grads — each arm
+    is the other's exactness oracle behind MCA_MOE_IMPL."""
+    B, T, D, E, CF = 2, 10, 12, 3, 1.5
+    x = jax.random.normal(jax.random.key(8), (B, T, D), jnp.float32)
+    padding = None
+    if with_padding:
+        padding = jnp.zeros((B, T), bool).at[1, 6:].set(True)
+    moe = MoEFeedForward(dim=D, num_experts=E, mult=4, capacity_factor=CF)
+    variables = moe.init(jax.random.key(9), x)
+    p = variables["params"]
+
+    outs, grads = {}, {}
+    for impl in ("gather", "onehot"):
+        monkeypatch.setenv("MCA_MOE_IMPL", impl)
+        # fresh function object per arm — a shared jit cache would
+        # silently reuse the first trace and never read the env
+        outs[impl] = np.asarray(moe.apply(variables, x, padding))
+        grads[impl] = jax.grad(
+            lambda p_: (moe.apply({"params": p_}, x, padding) ** 2).sum()
+        )(p)
+    np.testing.assert_allclose(
+        outs["gather"], outs["onehot"], atol=1e-6, rtol=1e-5
+    )
+    for k in p:
+        np.testing.assert_allclose(
+            np.asarray(grads["gather"][k]),
+            np.asarray(grads["onehot"][k]),
+            atol=1e-5,
+            rtol=1e-4,
+            err_msg=k,
+        )
+
+
 def test_padded_tokens_get_zero_ff_output():
     """Padded tokens route with score 0: picked only when capacity
     exceeds the real-token count, and then combine with weight 0."""
@@ -250,6 +286,47 @@ def test_moe_pipeline_parallel_matches_sequential():
         )
     )
     np.testing.assert_allclose(loss_pipe, loss_seq, rtol=1e-5)
+
+
+def test_moe_stats_intermediates_and_tool(tmp_path):
+    """The sow hooks only materialise under mutable=["intermediates"]
+    (hot path unchanged), and moe_stats computes sane routing numbers:
+    expert probability mass sums to 1 (softmax), coverage in (0, 1],
+    and cf=2 with E=2 picks every real token at least once here."""
+    from mca_tpu.data.synthetic import make_tcga_like, to_hf_dataset
+    from mca_tpu.tools.moe_stats import extract_moe_stats, routing_stats
+
+    cfg, model, batch = _setup(moe_experts=2, moe_capacity_factor=2.0)
+    batch_j = jax.tree.map(jnp.asarray, batch)
+    params = jax.jit(model.init)(jax.random.key(0), batch_j)
+
+    # plain apply returns the usual output dict — no intermediates leak
+    out = model.apply(params, batch_j)
+    assert "loss" in out
+
+    _, mut = model.apply(params, batch_j, mutable=["intermediates"])
+    ff0 = mut["intermediates"]["layer_0"]["ff"]
+    scores = np.asarray(ff0["router_scores"][0])
+    token_idx = np.asarray(ff0["token_idx"][0])
+    gates = np.asarray(ff0["gates"][0])
+    assert scores.shape[-1] == 2 and token_idx.shape[1] == 2
+
+    row = routing_stats(scores, token_idx, gates)
+    np.testing.assert_allclose(
+        sum(row["expert_prob_mass"]), 1.0, atol=1e-4
+    )
+    assert 0.0 < row["coverage_real"] <= 1.0
+    assert row["experts_per_real_token"] >= row["coverage_real"]
+    assert row["tokens_real"] <= row["tokens_total"]
+
+    # the CLI-level extraction path (dataset from disk, fresh init)
+    widths = {m: c["pad_len"] for m, c in cfg.modality_config.items()}
+    samples = make_tcga_like(16, widths=widths, p_missing=0.25, seed=1)
+    to_hf_dataset(samples).save_to_disk(str(tmp_path / "ds"))
+    cfg.dataset = str(tmp_path / "ds")
+    rows = extract_moe_stats(cfg)
+    assert len(rows) == cfg.layers
+    assert all(r["experts"] == 2 for r in rows)
 
 
 def test_expert_parallel_step_matches_unsharded():
