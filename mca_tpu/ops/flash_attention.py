@@ -66,7 +66,7 @@ def _pad_to(x: int, m: int) -> int:
 def _tile_schedule(
     mask: np.ndarray, block_q: int, block_k: int
 ) -> Tuple[np.ndarray, ...]:
-    """CSR tile enumeration of the static mask.
+    """CSR tile enumeration of the static mask (rectangular OK).
 
     Returns (q_of_tile, kv_of_tile, full_of_tile) in q-major order and
     the same triple in kv-major order, plus padded block counts
@@ -74,15 +74,29 @@ def _tile_schedule(
     entries at all — the kernels skip the mask load + where there
     (most interior modality-diagonal tiles at fine block sizes).
     Padded region is fully blocked.
+
+    Every q block and every kv block is guaranteed at least one tile:
+    the fwd/dq kernels write outputs per visited q block and the
+    dkv/fused-bwd kernels per visited kv block, so an unvisited block
+    would leave uninitialised garbage in its output slot.  Square
+    MCA/zorro masks always cover everything (each token attends its
+    own modality; fusion rows attend everywhere), but rectangular
+    band slices (:func:`make_banded_flash_attention`) and arbitrary
+    corpus masks may not — uncovered blocks get one synthetic
+    fully-masked tile (p == 0 inside the kernel: outputs flush zeros).
     """
-    t = mask.shape[0]
-    tq, tk = _pad_to(t, block_q), _pad_to(t, block_k)
+    t, s = mask.shape
+    tq, tk = _pad_to(t, block_q), _pad_to(s, block_k)
     padded = np.ones((tq, tk), dtype=bool)
-    padded[:t, :t] = mask
+    padded[:t, :s] = mask
     nq, nk = tq // block_q, tk // block_k
     tiles = padded.reshape(nq, block_q, nk, block_k)
     active = ~tiles.all(axis=(1, 3))  # [nq, nk] tile has any unmasked
     full = ~tiles.any(axis=(1, 3))  # [nq, nk] tile has NO blocked
+    for i in np.nonzero(~active.any(axis=1))[0]:
+        active[i, 0] = True  # synthetic fully-masked tile (full stays 0)
+    for j in np.nonzero(~active.any(axis=0))[0]:
+        active[0, j] = True
     qs, ks = np.nonzero(active)  # row-major == q-major order
     fl = full[qs, ks]
     order2 = np.lexsort((qs, ks))  # kv-major order
@@ -584,10 +598,10 @@ def _prep_mask(
     attn_mask: np.ndarray, block_q: int, block_k: int,
     mask_mode: str = "select",
 ) -> np.ndarray:
-    t = attn_mask.shape[0]
-    tq, tk = _pad_to(t, block_q), _pad_to(t, block_k)
+    t, s = attn_mask.shape
+    tq, tk = _pad_to(t, block_q), _pad_to(s, block_k)
     padded = np.ones((tq, tk), dtype=bool)
-    padded[:t, :t] = attn_mask
+    padded[:t, :s] = attn_mask
     if mask_mode == "add":
         # additive bf16 mask (0 / NEG_INF): one add in the kernel
         # instead of compare+or+select
@@ -628,11 +642,14 @@ def make_flash_attention(
     """Build a flash-attention fn for one static mask.
 
     Returns ``fn(q, k, v, key_padding_mask) -> out`` with
-    q/k/v ``[B, H, T, D]`` and key_padding_mask ``[B, T]`` bool or None.
+    q ``[B, H, Tq, D]``, k/v ``[B, H, Tk, D]`` and key_padding_mask
+    ``[B, Tk]`` bool or None, where ``attn_mask`` is ``[Tq, Tk]`` —
+    square for self-attention, rectangular for the row-band
+    decomposition (:func:`make_banded_flash_attention`).
     Differentiable via custom_vjp (block-sparse backward).
     """
-    assert attn_mask.ndim == 2 and attn_mask.shape[0] == attn_mask.shape[1]
-    t_real = attn_mask.shape[0]
+    assert attn_mask.ndim == 2
+    tq_real, tk_real = attn_mask.shape
     mask8 = _prep_mask(
         np.asarray(attn_mask, bool), block_q, block_k, mask_mode
     )
@@ -643,23 +660,23 @@ def make_flash_attention(
     tq, tk = nq * block_q, nk * block_k
 
     def _pad_q(x):
-        return jnp.pad(x, ((0, 0), (0, tq - t_real), (0, 0)))
+        return jnp.pad(x, ((0, 0), (0, tq - tq_real), (0, 0)))
 
     def _pad_kv(x):
         # kv blocks index into a tk-length array; tq and tk differ
         # whenever block_q != block_k and T doesn't pad to the same
         # multiple of both
-        return jnp.pad(x, ((0, 0), (0, tk - t_real), (0, 0)))
+        return jnp.pad(x, ((0, 0), (0, tk - tk_real), (0, 0)))
 
     def _pad_keymask(pad, b):
-        # the tk-t_real alignment tail is always marked padded: with an
-        # all-zero static mask (per-segment unmasked attention) nothing
-        # else blocks those keys
+        # the tk-tk_real alignment tail is always marked padded: with
+        # an all-zero static mask (per-segment unmasked attention)
+        # nothing else blocks those keys
         if pad is None:
-            pad = jnp.zeros((b, t_real), jnp.int8)
+            pad = jnp.zeros((b, tk_real), jnp.int8)
         pad2 = jnp.pad(
             pad.astype(jnp.int8),
-            ((0, 0), (0, tk - t_real)),
+            ((0, 0), (0, tk - tk_real)),
             constant_values=1,
         )
         if mask_mode == "add":
@@ -947,9 +964,10 @@ def make_flash_attention(
 
     def _fwd_local(q, k, v, pad, qo, ko, fo, *mask_op):
         b, h, t, d = q.shape
+        s = k.shape[2]
         qf = _pad_q(q.reshape(b * h, t, d))
-        kf = _pad_kv(k.reshape(b * h, t, d))
-        vf = _pad_kv(v.reshape(b * h, t, d))
+        kf = _pad_kv(k.reshape(b * h, s, d))
+        vf = _pad_kv(v.reshape(b * h, s, d))
         pad8 = _pad_keymask(pad, b)
         out, lse = _fwd_call(qf, kf, vf, pad8, h, (qo, ko, fo), mask_op)
         return (
@@ -962,9 +980,10 @@ def make_flash_attention(
         qo, ko, fo, qo2, ko2, fo2, *mask_op,
     ):
         b, h, t, d = q.shape
+        s = k.shape[2]
         qf = _pad_q(q.reshape(b * h, t, d))
-        kf = _pad_kv(k.reshape(b * h, t, d))
-        vf = _pad_kv(v.reshape(b * h, t, d))
+        kf = _pad_kv(k.reshape(b * h, s, d))
+        vf = _pad_kv(v.reshape(b * h, s, d))
         pad8 = _pad_keymask(pad, b)
         dof = _pad_q(do.reshape(b * h, t, d))
         # padded-q rows re-enter with lse/delta == 0, so p == 1 there —
@@ -983,8 +1002,11 @@ def make_flash_attention(
             qf, kf, vf, pad8, dof, lsef, deltaf, h,
             (qo, ko, fo), (qo2, ko2, fo2), mask_op,
         )
-        unpad = lambda x: x[:, :t].reshape(b, h, t, d)
-        return unpad(dq), unpad(dk), unpad(dv)
+        return (
+            dq[:, :t].reshape(b, h, t, d),
+            dk[:, :s].reshape(b, h, s, d),
+            dv[:, :s].reshape(b, h, s, d),
+        )
 
     fwd_op, bwd_op = _fwd_local, _bwd_local
     if _partition_enabled():
@@ -1019,7 +1041,7 @@ def make_flash_attention(
 
     def _flash_fwd(q, k, v, key_padding_mask):
         pad = (
-            jnp.zeros((q.shape[0], t_real), jnp.int8)
+            jnp.zeros((q.shape[0], tk_real), jnp.int8)
             if key_padding_mask is None
             else key_padding_mask.astype(jnp.int8)
         )
@@ -1089,26 +1111,31 @@ _MEASURED_BLOCKS = {
 _AUTO_CACHE = {}
 
 
-def _fitted_candidates(t: int):
-    """Shape-fitted candidate blocks for sequence length ``t``.
+def _fitted_candidates(t: int, s: Optional[int] = None):
+    """Shape-fitted candidate blocks for a ``[t, s]`` mask (square when
+    ``s`` is omitted).
 
     The fixed grid pads badly at lengths it wasn't chosen for — e.g.
     an unmasked EAO pass at T=1600 visits 2048x2560 padded entries with
     the generic 512x1280 pick, while the fitted (320, 1664) covers
     1600x1664 (4% waste, one kv tile).  For each feasible tile count
-    per axis, emit the smallest lane-legal block that still covers T
-    (bq multiple of 8, bk of 128, area within the validated VMEM
+    per axis, emit the smallest lane-legal block that still covers the
+    axis (bq multiple of 8, bk of 128, area within the validated VMEM
     budget); the cost model ranks them against the generic grid, so a
     fitted shape only wins when it actually reduces
-    visited-area + tile-count cost.
+    visited-area + tile-count cost.  The bq floor drops to 8 for
+    short row bands (e.g. the 88 fusion rows get bq=88).
     """
     import math
 
+    s = t if s is None else s
     cands = set()
-    bqs = [8 * math.ceil(t / (8 * n)) for n in range(1, t // 224 + 2)]
-    bks = [128 * math.ceil(t / (128 * n)) for n in range(1, t // 448 + 2)]
+    bqs = {8 * math.ceil(t / (8 * n)) for n in range(1, t // 224 + 2)}
+    bqs.add(8 * math.ceil(t / 8))  # whole axis in one block
+    bks = {128 * math.ceil(s / (128 * n)) for n in range(1, s // 448 + 2)}
+    bks.add(128 * math.ceil(s / 128))
     for bq in bqs:
-        if not 64 <= bq <= 768:
+        if not 8 <= bq <= 768:
             continue
         for bk in bks:
             if 128 <= bk and bq * bk <= 640 * 1024:
@@ -1126,7 +1153,7 @@ def _model_ranked(attn_mask: np.ndarray):
 
     cands = set(_BLOCK_CANDIDATES)
     if os.environ.get("MCA_FLASH_FITTED", "1") == "1":
-        cands |= _fitted_candidates(attn_mask.shape[0])
+        cands |= _fitted_candidates(*attn_mask.shape)
     rows = []
     for bq, bk in sorted(cands):
         q_of, *_ = _tile_schedule(attn_mask, bq, bk)
@@ -1267,6 +1294,156 @@ def _auto_blocks(attn_mask: np.ndarray) -> Tuple[int, int]:
     return _AUTO_CACHE[key]
 
 
+# ---------------------------------------------------------------------------
+# Row-band decomposition (MCA_FLASH_BANDS)
+# ---------------------------------------------------------------------------
+#
+# The MCA/zorro masks are unions of row bands with very different
+# column supports (each modality's rows attend only their own ~200-800
+# column band; the 88 fusion rows attend everywhere).  A single global
+# (block_q, block_k) forces every q tile that straddles a band boundary
+# to visit the UNION of both bands' columns: at the measured-optimal
+# 368x896 blocks the TCGA schedule visits 4.29M padded entries for
+# 1.90M useful ones (2.26x).  Attention rows are independent, so the
+# exact same computation can run as one kernel launch per row band,
+# each over just its band's column range with band-fitted blocks —
+# TCGA drops to 2.65M visited entries (4 launches), CMU 5.90M -> 3.15M.
+# Each band is an ordinary rectangular make_flash_attention instance
+# (own custom_vjp + batch/head custom_partitioning); slicing q rows and
+# kv columns composes with autodiff, and the overlapping dk/dv
+# contributions (the fusion band spans every column) sum through the
+# slice transposes XLA inserts.
+
+_BAND_CACHE = {}
+
+#: entries-equivalent charge per extra pallas launch in the band DP —
+#: discourages splitting off slivers whose area saving can't pay for a
+#: separate kernel launch + pipeline warmup
+_BAND_LAUNCH_OVERHEAD = 300_000
+
+
+def _row_runs(mask: np.ndarray):
+    """Maximal runs of identical mask rows, as [(r0, r1), ...)."""
+    t = mask.shape[0]
+    if t == 0:
+        return []
+    diff = np.any(mask[1:] != mask[:-1], axis=1)
+    starts = np.concatenate(([0], np.nonzero(diff)[0] + 1))
+    ends = np.concatenate((starts[1:], [t]))
+    return list(zip(starts.tolist(), ends.tolist()))
+
+
+def _band_rect(mask: np.ndarray, r0: int, r1: int):
+    """Column support range of rows [r0, r1), c0 aligned down to the
+    128-lane boundary so the kv slice starts lane-aligned."""
+    sub = mask[r0:r1]
+    cols = np.nonzero(~sub.all(axis=0))[0]
+    if len(cols) == 0:  # fully-masked rows: minimal dummy range
+        return 0, min(128, mask.shape[1])
+    c0 = (int(cols[0]) // 128) * 128
+    return c0, int(cols[-1]) + 1
+
+
+def _best_blocks_cost(mask: np.ndarray):
+    """(cost, bq, bk) minimising visited-area + per-tile overhead over
+    the generic grid plus shape-fitted candidates (always included —
+    band rectangles need them)."""
+    cands = set(_BLOCK_CANDIDATES) | _fitted_candidates(*mask.shape)
+    best = None
+    for bq, bk in sorted(cands):
+        q_of, *_ = _tile_schedule(mask, bq, bk)
+        n = len(q_of)
+        c = n * bq * bk + _TILE_OVERHEAD_ENTRIES * n
+        if best is None or c < best[0]:
+            best = (c, bq, bk)
+    return best
+
+
+def plan_bands(attn_mask: np.ndarray):
+    """Optimal row-band partition of a static mask, or None.
+
+    Dynamic program over maximal identical-row runs: cost of a band =
+    the block cost model of its [rows, column-support] rectangle plus
+    a per-launch charge.  Returns [(r0, r1, c0, c1, bq, bk), ...] with
+    contiguous rows covering [0, T), or None when one band (the plain
+    kernel) is optimal or banding does not apply.
+    """
+    attn_mask = np.asarray(attn_mask, bool)
+    key = (attn_mask.tobytes(), attn_mask.shape)
+    if key in _BAND_CACHE:
+        return _BAND_CACHE[key]
+    runs = _row_runs(attn_mask)
+    n = len(runs)
+    result = None
+    # n > 64 means near-arbitrary row striping (no band structure to
+    # exploit) — the O(n^2) DP would also get expensive
+    if 2 <= n <= 64 and attn_mask.any():
+        cost_memo = {}
+
+        def icost(i, j):
+            if (i, j) not in cost_memo:
+                r0, r1 = runs[i][0], runs[j][1]
+                c0, c1 = _band_rect(attn_mask, r0, r1)
+                c, bq, bk = _best_blocks_cost(attn_mask[r0:r1, c0:c1])
+                cost_memo[(i, j)] = (
+                    c + _BAND_LAUNCH_OVERHEAD,
+                    (r0, r1, c0, c1, bq, bk),
+                )
+            return cost_memo[(i, j)]
+
+        best = [None] * (n + 1)
+        best[0] = (0.0, [])
+        for j in range(1, n + 1):
+            for i in range(j):
+                c, band = icost(i, j - 1)
+                tot = best[i][0] + c
+                if best[j] is None or tot < best[j][0]:
+                    best[j] = (tot, best[i][1] + [band])
+        bands = best[n][1]
+        if len(bands) > 1:
+            result = bands
+    _BAND_CACHE[key] = result
+    return result
+
+
+def make_banded_flash_attention(
+    attn_mask: np.ndarray, *, scale: float, bands, **kw
+):
+    """Row-band composition of rectangular flash kernels.
+
+    ``bands`` comes from :func:`plan_bands`.  Returns the same
+    ``fn(q, k, v, key_padding_mask) -> out`` contract as
+    :func:`make_flash_attention`; gradients compose through each
+    band's custom_vjp and the q/kv slices.
+    """
+    attn_mask = np.asarray(attn_mask, bool)
+    fns = [
+        (
+            r0, r1, c0, c1,
+            make_flash_attention(
+                attn_mask[r0:r1, c0:c1],
+                scale=scale, block_q=bq, block_k=bk, **kw,
+            ),
+        )
+        for (r0, r1, c0, c1, bq, bk) in bands
+    ]
+
+    def banded(q, k, v, key_padding_mask):
+        outs = []
+        for r0, r1, c0, c1, fn in fns:
+            pad_b = (
+                None
+                if key_padding_mask is None
+                else key_padding_mask[:, c0:c1]
+            )
+            outs.append(
+                fn(q[:, :, r0:r1], k[:, :, c0:c1], v[:, :, c0:c1], pad_b)
+            )
+        return jnp.concatenate(outs, axis=2)
+
+    return banded
+
+
 def flash_masked_attention(
     q,
     k,
@@ -1310,6 +1487,33 @@ def flash_masked_attention(
     prob_dtype = os.environ.get("MCA_FLASH_PROB_DTYPE", "f32")
     # Mosaic grid-dimension-semantics A/B knob (see _dimsem_params)
     dimsem = os.environ.get("MCA_FLASH_DIMSEM", "0") == "1"
+    # row-band decomposition (see plan_bands): one launch per row band
+    # with band-fitted blocks.  Default ON — measured TCGA 397.3k ->
+    # 461.5k tok/s, CMU 379.4k -> 450.9k, zorro 399.4k -> 463.4k on the
+    # full train step (PERF.md round 3; the planner declines masks
+    # where one kernel is modelled cheaper, so small/unmasked cases
+    # fall through unchanged).  Explicit block overrides force the
+    # single-kernel path (the sweeps A/B one global shape).
+    if (
+        os.environ.get("MCA_FLASH_BANDS", "1") == "1"
+        and block_q is None
+        and block_k is None
+    ):
+        bands = plan_bands(attn_mask)
+        if bands is not None:
+            bkey = (
+                "bands", attn_mask.tobytes(), attn_mask.shape,
+                float(scale), tuple(bands), bwd_impl, interpret,
+                mask_mode, use_exp2, prob_dtype, dimsem,
+            )
+            if bkey not in _CACHE:
+                _CACHE[bkey] = make_banded_flash_attention(
+                    attn_mask, scale=scale, bands=bands,
+                    bwd_impl=bwd_impl, interpret=interpret,
+                    mask_mode=mask_mode, use_exp2=use_exp2,
+                    prob_dtype=prob_dtype, dimsem=dimsem,
+                )
+            return _CACHE[bkey](q, k, v, key_padding_mask)
     if block_q is None or block_k is None:
         if (
             os.environ.get("MCA_FLASH_TUNE") == "measure"

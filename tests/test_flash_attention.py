@@ -439,3 +439,218 @@ def test_fitted_block_shape_kernel_correct(rng):
             np.asarray(b), np.asarray(a), atol=2e-4,
             err_msg=f"d{name} mismatch",
         )
+
+
+# ---------------------------------------------------------------------------
+# Row-band decomposition (MCA_FLASH_BANDS)
+# ---------------------------------------------------------------------------
+
+
+def _band_setup(rng):
+    ms = M.build_masks([20, 7, 16, 12], 11, [4, 3, 2])
+    mask = np.asarray(ms.attn_mask)
+    t = mask.shape[0]
+    q, k, v = _rand_qkv(rng, 2, 3, t, 16)
+    pad = np.zeros((2, t), bool)
+    pad[1, 15:20] = True
+    pad[0, 30:35] = True
+    return mask, q, k, v, jnp.asarray(pad)
+
+
+def _live_weight(rng, mask, pad, shape):
+    blocked = mask[None] | np.asarray(pad)[:, None, :]
+    live = jnp.asarray(~blocked.all(axis=2))
+    w = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    return w * live[:, None, :, None]
+
+
+def test_banded_matches_dense(rng):
+    """Manual row bands (modalities + fusion, overlapping column
+    supports) reproduce dense values AND grads — including the dk/dv
+    accumulation across bands through the slice transposes."""
+    from mca_tpu.ops import flash_attention as F
+
+    mask, q, k, v, pad = _band_setup(rng)
+    t = mask.shape[0]
+    edges = [0, 20, 27, 43, 55, t]
+    bands = []
+    for r0, r1 in zip(edges[:-1], edges[1:]):
+        c0, c1 = F._band_rect(mask, r0, r1)
+        bands.append((r0, r1, c0, c1, 8, 128))
+    fn = F.make_banded_flash_attention(
+        mask, scale=SCALE, bands=bands, interpret=True
+    )
+    dense = dense_masked_attention(
+        q, k, v, scale=SCALE, attn_mask=jnp.asarray(mask),
+        key_padding_mask=pad,
+    )
+    out = fn(q, k, v, pad)
+    blocked = mask[None] | np.asarray(pad)[:, None, :]
+    live = ~blocked.all(axis=2)
+    d_np, f_np = np.asarray(dense), np.asarray(out)
+    for b in range(2):
+        np.testing.assert_allclose(
+            f_np[b, :, live[b]], d_np[b, :, live[b]], atol=2e-5
+        )
+
+    w = _live_weight(rng, mask, pad, q.shape)
+
+    def obj(f):
+        return lambda q, k, v: (f(q, k, v) * w).sum()
+
+    gd = jax.grad(
+        obj(lambda q, k, v: dense_masked_attention(
+            q, k, v, scale=SCALE, attn_mask=jnp.asarray(mask),
+            key_padding_mask=pad,
+        )),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gf = jax.grad(
+        obj(lambda q, k, v: fn(q, k, v, pad)), argnums=(0, 1, 2)
+    )(q, k, v)
+    for name, a, b in zip("qkv", gd, gf):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_banded_env_knob_end_to_end(rng, monkeypatch):
+    """MCA_FLASH_BANDS=1 routes flash_masked_attention through the
+    planner and matches dense.  The cost model correctly refuses to
+    band a 66-token mask (the bk >= 128 lane floor dominates), so the
+    planner is stubbed with a fixed partition — real-scale planner
+    output is pinned by test_plan_bands_canonical_tcga."""
+    from mca_tpu.ops import flash_attention as F
+
+    mask, q, k, v, pad = _band_setup(rng)
+    t = mask.shape[0]
+    edges = [0, 20, 27, 43, 55, t]
+    bands = [
+        (r0, r1, *F._band_rect(mask, r0, r1), 8, 128)
+        for r0, r1 in zip(edges[:-1], edges[1:])
+    ]
+    monkeypatch.setattr(F, "plan_bands", lambda m: bands)
+    monkeypatch.setenv("MCA_FLASH_BANDS", "1")
+    # contiguous cover of [0, T)
+    assert bands[0][0] == 0 and bands[-1][1] == mask.shape[0]
+    for a, b in zip(bands[:-1], bands[1:]):
+        assert a[1] == b[0]
+
+    out = flash_masked_attention(
+        q, k, v, scale=SCALE, attn_mask=mask,
+        key_padding_mask=pad, interpret=True,
+    )
+    dense = dense_masked_attention(
+        q, k, v, scale=SCALE, attn_mask=jnp.asarray(mask),
+        key_padding_mask=pad,
+    )
+    blocked = mask[None] | np.asarray(pad)[:, None, :]
+    live = ~blocked.all(axis=2)
+    d_np, f_np = np.asarray(dense), np.asarray(out)
+    for b in range(2):
+        np.testing.assert_allclose(
+            f_np[b, :, live[b]], d_np[b, :, live[b]], atol=2e-5
+        )
+    F._BAND_CACHE.clear()
+
+
+def test_plan_bands_canonical_tcga():
+    """At the real TCGA scale the planner returns >= 2 bands whose
+    visited tile area beats the global auto-block schedule's."""
+    from mca_tpu.ops import flash_attention as F
+
+    ms = M.build_masks([800, 198, 800, 662], 88, [4, 3, 2])
+    mask = np.asarray(ms.attn_mask)
+    bands = F.plan_bands(mask)
+    assert bands is not None and len(bands) >= 2
+    assert bands[0][0] == 0 and bands[-1][1] == mask.shape[0]
+    banded_area = 0
+    for (r0, r1, c0, c1, bq, bk) in bands:
+        q_of, *_ = F._tile_schedule(mask[r0:r1, c0:c1], bq, bk)
+        banded_area += len(q_of) * bq * bk
+        # every band column range contains the band's unmasked columns
+        sub = mask[r0:r1]
+        cols = np.nonzero(~sub.all(axis=0))[0]
+        assert c0 <= cols.min() and cols.max() < c1
+    gq, gk = F._auto_blocks(mask)
+    q_of, *_ = F._tile_schedule(mask, gq, gk)
+    global_area = len(q_of) * gq * gk
+    assert banded_area < 0.75 * global_area, (banded_area, global_area)
+
+
+def test_tile_schedule_covers_every_block():
+    """Uncovered q/kv blocks get a synthetic fully-masked tile so every
+    output block is written (rectangular band slices can have them)."""
+    from mca_tpu.ops.flash_attention import _tile_schedule
+
+    # 3 q-blocks x 4 kv-blocks of 8x128; only tile (1, 1) is naturally
+    # active; q rows 0-7 and 16-23 and kv cols outside 128-255 are
+    # fully masked
+    mask = np.ones((24, 512), bool)
+    mask[8:16, 128:256] = False
+    qs, ks, fl, qs2, ks2, fl2, nq, nk = _tile_schedule(mask, 8, 128)
+    assert set(qs.tolist()) == {0, 1, 2}
+    assert set(ks.tolist()) == {0, 1, 2, 3}
+    # synthetic tiles are never marked full
+    for q_, k_, f_ in zip(qs, ks, fl):
+        if (q_, k_) != (1, 1):
+            assert f_ == 0
+    # kv-major order is a permutation of the same tile set
+    assert sorted(zip(qs.tolist(), ks.tolist())) == sorted(
+        zip(qs2.tolist(), ks2.tolist())
+    )
+
+
+def test_banded_under_sharded_batch(rng, monkeypatch):
+    """Banded kernels under jit over a batch sharded on the 'data'
+    mesh axis equal the unsharded result — each band carries its own
+    batch/head custom_partitioning wrap, so the composition must stay
+    shard-local per band."""
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from mca_tpu.ops import flash_attention as F
+
+    mask, q, k, v, pad = _band_setup(rng)
+    t = mask.shape[0]
+    edges = [0, 20, 27, 43, 55, t]
+    bands = [
+        (r0, r1, *F._band_rect(mask, r0, r1), 8, 128)
+        for r0, r1 in zip(edges[:-1], edges[1:])
+    ]
+    monkeypatch.setattr(F, "plan_bands", lambda m: bands)
+    monkeypatch.setenv("MCA_FLASH_BANDS", "1")
+    # batch 8 so it splits over 8 devices (q from _band_setup is B=2)
+    q, k, v = _rand_qkv(rng, 8, 3, t, 16)
+    pad8 = np.zeros((8, t), bool)
+    pad8[1, 15:20] = True
+    pad8 = jnp.asarray(pad8)
+    w = jnp.asarray(
+        rng.normal(size=(8, 3, t, 16)).astype(np.float32)
+    )
+    blocked = mask[None] | np.asarray(pad8)[:, None, :]
+    live = jnp.asarray(~blocked.all(axis=2))
+
+    def obj(q, k, v, pad_):
+        o = flash_masked_attention(
+            q, k, v, scale=SCALE, attn_mask=mask,
+            key_padding_mask=pad_, interpret=True,
+        )
+        return (o * w * live[:, None, :, None]).sum()
+
+    g = jax.grad(obj, argnums=(0, 1, 2))
+    ref = g(q, k, v, pad8)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8, 1), ("data", "model"))
+    sh = NamedSharding(mesh, P("data"))
+    qs = jax.device_put(q, sh)
+    ks = jax.device_put(k, sh)
+    vs = jax.device_put(v, sh)
+    ps = jax.device_put(pad8, sh)
+    out = jax.jit(g)(qs, ks, vs, ps)
+    for name, a, b in zip("qkv", ref, out):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-5,
+            err_msg=f"d{name} mismatch under sharded batch",
+        )
