@@ -30,6 +30,22 @@ def main():
             out=OUT)
         run("zorro/bands", {"BENCH_VARIANT": "zorro", "MCA_FLASH_BANDS": 1},
             out=OUT)
+    if part in ("alt",):
+        # partition-validation: alternative row partitions vs the DP's
+        # pick (TCGA DP edges: 998,1798,2460 / CMU: 1500,1950,2450);
+        # MCA_FLASH_BANDS default is now 1
+        for tag, edges in [
+            ("tcga/alt-5bands", "800,998,1798,2460"),  # gene|protein split
+            ("tcga/alt-3bands", "998,1798"),  # mirna+fusion merged
+            ("tcga/alt-2bands", "2460"),  # all modalities merged
+        ]:
+            run(tag, {"MCA_FLASH_BAND_EDGES": edges}, out=OUT)
+        for tag, edges in [
+            ("cmu/alt-5bands", "1500,1950,2400,2450"),  # glove split out
+            ("cmu/alt-3bands", "1500,2450"),
+        ]:
+            run(tag, {"BENCH_DATASET": "cmu",
+                      "MCA_FLASH_BAND_EDGES": edges}, out=OUT)
 
 
 if __name__ == "__main__":

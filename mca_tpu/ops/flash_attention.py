@@ -1359,6 +1359,20 @@ def _best_blocks_cost(mask: np.ndarray):
     return best
 
 
+def _bands_from_edges(attn_mask: np.ndarray, edges):
+    """Bands from an explicit row partition (block choice still via
+    the cost model).  ``edges`` are interior boundaries; 0 and T are
+    implicit."""
+    t = attn_mask.shape[0]
+    cuts = [0] + sorted(int(e) for e in edges if 0 < int(e) < t) + [t]
+    bands = []
+    for r0, r1 in zip(cuts[:-1], cuts[1:]):
+        c0, c1 = _band_rect(attn_mask, r0, r1)
+        _, bq, bk = _best_blocks_cost(attn_mask[r0:r1, c0:c1])
+        bands.append((r0, r1, c0, c1, bq, bk))
+    return bands if len(bands) > 1 else None
+
+
 def plan_bands(attn_mask: np.ndarray):
     """Optimal row-band partition of a static mask, or None.
 
@@ -1367,8 +1381,20 @@ def plan_bands(attn_mask: np.ndarray):
     a per-launch charge.  Returns [(r0, r1, c0, c1, bq, bk), ...] with
     contiguous rows covering [0, T), or None when one band (the plain
     kernel) is optimal or banding does not apply.
+
+    ``MCA_FLASH_BAND_EDGES="r1,r2,..."`` overrides the DP with an
+    explicit row partition (the measurement sweeps A/B alternative
+    partitions against the planner's; ``MCA_FLASH_BAND_EDGES=""`` is
+    a no-op).
     """
+    import os
+
     attn_mask = np.asarray(attn_mask, bool)
+    edges_env = os.environ.get("MCA_FLASH_BAND_EDGES", "")
+    if edges_env:
+        return _bands_from_edges(
+            attn_mask, (e for e in edges_env.split(",") if e.strip())
+        )
     key = (attn_mask.tobytes(), attn_mask.shape)
     if key in _BAND_CACHE:
         return _BAND_CACHE[key]

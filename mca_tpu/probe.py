@@ -218,9 +218,14 @@ def probe(config: Config) -> Dict[str, Any]:
         if y_train.ndim > 1:
             y_train = y_train.argmax(-1).astype(np.float32)
             y_test = y_test.argmax(-1).astype(np.float32)
-            num_labels = int(
-                max(y_train.max(), y_test.max())
-            ) + 1
+        # CE implies integer class ids: size the head from the data
+        # even for a 1-D label column (a binary column probed with CE
+        # is a 2-class head).  The reference sizes the head 1 here and
+        # torch CE crashes (lp_accel_gpu.py:104-107) — out-of-corpus
+        # combination, handled rather than replicated.
+        num_labels = max(
+            int(max(y_train.max(), y_test.max())) + 1, 2
+        )
 
     if config.model_type == "ridge":
         y_fit = (

@@ -192,6 +192,23 @@ def test_probe_ce_and_regression(inferred):
     # the bench/parity harness, this test pins the plumbing.
     assert np.isfinite(m["train_accuracy"])
 
+    # CE over a single 0/1 label column: integer class ids, so the
+    # head must be sized from the data (2 classes), not the column
+    # count (the reference sizes it 1 and torch CE crashes,
+    # lp_accel_gpu.py:104-107)
+    pcfg_bin = get_cfg_defaults_embedding_eval()
+    pcfg_bin.embedding_dir = icfg.output_dir
+    pcfg_bin.output_dir = str(root / "probe_ce_bin")
+    pcfg_bin.task = 0
+    pcfg_bin.loss_type = "CE"
+    pcfg_bin.epochs = 20
+    pcfg_bin.lr = 1e-3
+    pcfg_bin.batch_size = 16
+    pcfg_bin.rank_metrics = False
+    mb = probe(pcfg_bin)
+    assert 0.0 <= mb["eval_accuracy"] <= 1.0
+    assert np.isfinite(mb["train_loss"])
+
     pcfg2 = get_cfg_defaults_embedding_eval()
     pcfg2.embedding_dir = icfg.output_dir
     pcfg2.output_dir = str(root / "probe_l1")

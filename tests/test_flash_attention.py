@@ -654,3 +654,31 @@ def test_banded_under_sharded_batch(rng, monkeypatch):
             np.asarray(b), np.asarray(a), atol=2e-5,
             err_msg=f"d{name} mismatch under sharded batch",
         )
+
+
+def test_band_edges_override(rng, monkeypatch):
+    """MCA_FLASH_BAND_EDGES forces an explicit row partition (block
+    choice still model-fitted) and the result still matches dense."""
+    from mca_tpu.ops import flash_attention as F
+
+    mask, q, k, v, pad = _band_setup(rng)
+    t = mask.shape[0]
+    monkeypatch.setenv("MCA_FLASH_BANDS", "1")
+    monkeypatch.setenv("MCA_FLASH_BAND_EDGES", "27,55")
+    bands = F.plan_bands(mask)
+    assert [(b[0], b[1]) for b in bands] == [(0, 27), (27, 55), (55, t)]
+    out = flash_masked_attention(
+        q, k, v, scale=SCALE, attn_mask=mask,
+        key_padding_mask=pad, interpret=True,
+    )
+    dense = dense_masked_attention(
+        q, k, v, scale=SCALE, attn_mask=jnp.asarray(mask),
+        key_padding_mask=pad,
+    )
+    blocked = mask[None] | np.asarray(pad)[:, None, :]
+    live = ~blocked.all(axis=2)
+    d_np, f_np = np.asarray(dense), np.asarray(out)
+    for b in range(2):
+        np.testing.assert_allclose(
+            f_np[b, :, live[b]], d_np[b, :, live[b]], atol=2e-5
+        )
