@@ -1318,8 +1318,14 @@ _BAND_CACHE = {}
 
 #: entries-equivalent charge per extra pallas launch in the band DP —
 #: discourages splitting off slivers whose area saving can't pay for a
-#: separate kernel launch + pipeline warmup
-_BAND_LAUNCH_OVERHEAD = 300_000
+#: separate kernel launch + pipeline warmup.  Calibrated against the
+#: partition-validation sweep (sweep_bands --part alt, PERF.md): the
+#: TCGA gene|protein split (model Δ115k entries) measured +1.0%
+#: full-step, the CMU glove split (model Δ-75k) measured -1.0% —
+#: i.e. the measured per-launch cost is near zero in model units and
+#: the block-padding term already rejects sliver bands; 100k keeps a
+#: conservative floor (canonical picks are stable over 20k-110k).
+_BAND_LAUNCH_OVERHEAD = 100_000
 
 
 def _row_runs(mask: np.ndarray):
