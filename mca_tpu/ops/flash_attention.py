@@ -1221,10 +1221,13 @@ def _measure_blocks(
         return tuple(cache[key][:2])
 
     rng = np.random.default_rng(0)
-    mk = lambda: jnp.asarray(
-        rng.normal(size=(b, h, t, d)).astype(np.float32), dtype
+    # rectangular masks (band sub-rectangles): q rows from qshape,
+    # kv length from the mask's column count
+    tk = attn_mask.shape[1]
+    mk = lambda n: jnp.asarray(
+        rng.normal(size=(b, h, n, d)).astype(np.float32), dtype
     )
-    q0, k0, v0 = mk(), mk(), mk()
+    q0, k0, v0 = mk(t), mk(tk), mk(tk)
     best = None
     # top-8 of the model ranking, plus the measured-table entry for
     # this mask if one exists (so the sweep can never rank below a
@@ -1533,6 +1536,25 @@ def flash_masked_attention(
     ):
         bands = plan_bands(attn_mask)
         if bands is not None:
+            if (
+                os.environ.get("MCA_FLASH_TUNE") == "measure"
+                and not interpret
+                and jax.default_backend() == "tpu"
+            ):
+                # measure-at-first-use composes with banding: each
+                # band rectangle's blocks are measured on-device
+                # (disk-cached per band mask) instead of model-picked;
+                # the partition itself stays the DP's (measurement-
+                # validated, PERF.md round 3 partition sweep)
+                bands = [
+                    (r0, r1, c0, c1) + _measure_blocks(
+                        attn_mask[r0:r1, c0:c1], scale,
+                        (q.shape[0], q.shape[1], r1 - r0, q.shape[3]),
+                        q.dtype, bwd_impl, mask_mode, use_exp2,
+                        prob_dtype, dimsem,
+                    )
+                    for (r0, r1, c0, c1, _bq, _bk) in bands
+                ]
             bkey = (
                 "bands", attn_mask.tobytes(), attn_mask.shape,
                 float(scale), tuple(bands), bwd_impl, interpret,

@@ -682,3 +682,87 @@ def test_band_edges_override(rng, monkeypatch):
         np.testing.assert_allclose(
             f_np[b, :, live[b]], d_np[b, :, live[b]], atol=2e-5
         )
+
+
+def test_measure_mode_composes_with_bands(rng, monkeypatch):
+    """MCA_FLASH_TUNE=measure measures blocks PER BAND (the partition
+    stays the DP's): the wiring calls the tuner once per band with the
+    band's rectangular sub-mask, and the composition matches dense."""
+    from mca_tpu.ops import flash_attention as F
+
+    mask, q, k, v, pad = _band_setup(rng)
+    monkeypatch.setenv("MCA_FLASH_BANDS", "1")
+    monkeypatch.setenv("MCA_FLASH_BAND_EDGES", "27,55")
+    monkeypatch.setenv("MCA_FLASH_TUNE", "measure")
+    # the TPU-only guard keys off the default backend; fake it and
+    # intercept the tuner (the real one never runs on CPU)
+    monkeypatch.setattr(
+        jax, "default_backend", lambda: "tpu", raising=True
+    )
+    calls = []
+
+    def fake_measure(sub_mask, scale, qshape, *a, **kw):
+        calls.append((sub_mask.shape, qshape[2]))
+        return 8, 128
+
+    monkeypatch.setattr(F, "_measure_blocks", fake_measure)
+    # the guard requires interpret=False (measuring in interpret mode
+    # is meaningless in production); force interpret at kernel-build
+    # level instead so the composition still runs on CPU
+    orig_make = F.make_flash_attention
+    monkeypatch.setattr(
+        F,
+        "make_flash_attention",
+        lambda *a, **kw: orig_make(*a, **{**kw, "interpret": True}),
+    )
+    F._CACHE.clear()
+    out = flash_masked_attention(
+        q, k, v, scale=SCALE, attn_mask=mask, key_padding_mask=pad,
+    )
+    F._CACHE.clear()
+    t = mask.shape[0]
+    assert [c[1] for c in calls] == [27, 28, t - 55]
+    for (shape, tq) in calls:
+        assert shape[0] == tq  # rectangular sub-mask rows == q rows
+    dense = dense_masked_attention(
+        q, k, v, scale=SCALE, attn_mask=jnp.asarray(mask),
+        key_padding_mask=pad,
+    )
+    blocked = mask[None] | np.asarray(pad)[:, None, :]
+    live = ~blocked.all(axis=2)
+    d_np, f_np = np.asarray(dense), np.asarray(out)
+    for b in range(2):
+        np.testing.assert_allclose(
+            f_np[b, :, live[b]], d_np[b, :, live[b]], atol=2e-5
+        )
+
+
+def test_measure_blocks_rectangular(rng, tmp_path, monkeypatch):
+    """_measure_blocks runs on a rectangular (band) mask: kv tensors
+    take the mask's column count, q the caller's row count."""
+    from mca_tpu.ops import flash_attention as F
+
+    monkeypatch.setenv(
+        "MCA_FLASH_TUNE_CACHE", str(tmp_path / "tune.json")
+    )
+    # Pallas only lowers on TPU; force interpret for the CPU test
+    orig_make = F.make_flash_attention
+    monkeypatch.setattr(
+        F,
+        "make_flash_attention",
+        lambda *a, **kw: orig_make(*a, **{**kw, "interpret": True}),
+    )
+    mask = np.zeros((16, 256), bool)
+    mask[:, 200:] = True
+    bq, bk = F._measure_blocks(
+        mask, 0.25, (1, 2, 16, 8), jnp.float32, "fused"
+    )
+    assert bq >= 8 and bk >= 128
+    # second call resolves from the disk cache (no re-measure)
+    import json
+
+    cached = json.load(open(tmp_path / "tune.json"))
+    assert len(cached) == 1
+    assert F._measure_blocks(
+        mask, 0.25, (1, 2, 16, 8), jnp.float32, "fused"
+    ) == (bq, bk)
