@@ -483,11 +483,14 @@ def measure_rates(shapes=((400, 896),), dim_head=64, k=16,
 # ---------------------------------------------------------------------------
 
 
-def measure_attention(attn_mask, *, batch, heads, dim_head, k=96):
+def measure_attention(attn_mask, *, batch, heads, dim_head, k=96,
+                      fn=None):
     """Time the production banded kernel alone (fwd, fwd+bwd) for one
     layer: dependency-chained scans inside one executable, full-minus-
     half-length subtraction to cancel the relay's per-launch dispatch
-    (same methodology as _counter_kernel)."""
+    (same methodology as _counter_kernel).  ``fn(q, k, v, pad)``
+    overrides the kernel under test (block/band sweeps build their
+    own via make_banded_flash_attention)."""
     import jax
     import jax.numpy as jnp
 
@@ -503,6 +506,8 @@ def measure_attention(attn_mask, *, batch, heads, dim_head, k=96):
     interpret = jax.default_backend() != "tpu"  # CPU smoke only
 
     def attn(q):
+        if fn is not None:
+            return fn(q, q, q, pad)
         return flash_masked_attention(
             q, q, q, scale=scale, attn_mask=attn_mask,
             key_padding_mask=pad, interpret=interpret,

@@ -331,7 +331,7 @@ def _fused_bwd_kernel(
     q_ref, k_ref, v_ref, *rest,
     scale: float, block_q: int, has_mask: bool = True,
     mask_mode: str = "select", use_exp2: bool = False,
-    prob_dtype: str = "f32",
+    prob_dtype: str = "f32", dq_mode: str = "output",
 ):
     """Single kv-major pass computing dq, dk and dv together.
 
@@ -339,12 +339,22 @@ def _fused_bwd_kernel(
     the tile scores and probabilities twice (7 MXU dots per tile and
     two exp sweeps); this kernel computes them once (5 dots, one exp).
     dk/dv accumulate in per-kv-block scratch exactly like
-    ``_dkv_kernel``; dq accumulates into a full-length fp32 *output*
-    block whose index depends only on the batch-head, so it stays
+    ``_dkv_kernel``; dq accumulates into a full-length fp32 block
+    whose index depends only on the batch-head, so it stays
     VMEM-resident across the whole inner grid (read-modify-write with
     a dynamic row slice at ``q_of[t] * block_q``) and is flushed to
-    HBM once per batch-head.
+    HBM once per batch-head.  ``dq_mode`` picks where that block
+    lives: ``output`` accumulates directly in the output ref;
+    ``scratch`` accumulates in VMEM scratch and copies to the output
+    once per batch-head — an A/B arm for the roofline finding that
+    the backward serializes MXU against VPU (PERF.md round 3: the
+    read-modify-write on an *output* block is the prime suspect for
+    the broken software pipeline).
     """
+    if dq_mode == "scratch":
+        *rest, dq_scr = rest
+    else:
+        dq_scr = None
     if has_mask:
         (mask_ref, pad_ref, do_ref, lse_ref, delta_ref,
          dq_ref, dk_ref, dv_ref, dk_scr, dv_scr) = rest
@@ -363,7 +373,10 @@ def _fused_bwd_kernel(
 
     @pl.when(t == 0)
     def _():
-        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+        if dq_scr is None:
+            dq_ref[0] = jnp.zeros_like(dq_ref[0])
+        else:
+            dq_scr[:] = jnp.zeros_like(dq_scr)
 
     @pl.when(kv_first)
     def _():
@@ -401,16 +414,26 @@ def _fused_bwd_kernel(
         preferred_element_type=jnp.float32,
     )
     rows = pl.dslice(q_of[t] * block_q, block_q)
-    dq_ref[0, rows, :] = dq_ref[0, rows, :] + scale * jax.lax.dot_general(
+    dq_tile = scale * jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if dq_scr is None:
+        dq_ref[0, rows, :] = dq_ref[0, rows, :] + dq_tile
+    else:
+        dq_scr[rows, :] = dq_scr[rows, :] + dq_tile
 
     @pl.when(kv_last)
     def _():
         dk = dk_scr[:] * INV_LOG2E if use_exp2 else dk_scr[:]
         dk_ref[0] = dk.astype(dk_ref.dtype)
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+    if dq_scr is not None:
+
+        @pl.when(t == nt - 1)
+        def _():
+            dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
 
 
 def _dkv_kernel(
@@ -638,6 +661,7 @@ def make_flash_attention(
     use_exp2: bool = False,
     prob_dtype: str = "f32",
     dimsem: bool = False,
+    dq_mode: str = "output",
 ):
     """Build a flash-attention fn for one static mask.
 
@@ -919,6 +943,7 @@ def make_flash_attention(
                 mask_mode=mask_mode,
                 use_exp2=use_exp2,
                 prob_dtype=prob_dtype,
+                dq_mode=dq_mode,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
@@ -942,7 +967,11 @@ def make_flash_attention(
                 scratch_shapes=[
                     pltpu.VMEM((block_k, d), jnp.float32),
                     pltpu.VMEM((block_k, d), jnp.float32),
-                ],
+                ] + (
+                    [pltpu.VMEM((tq, d), jnp.float32)]
+                    if dq_mode == "scratch"
+                    else []
+                ),
             ),
             out_shape=[
                 jax.ShapeDtypeStruct((bh, tq, d), jnp.float32),
@@ -993,9 +1022,12 @@ def make_flash_attention(
         deltaf = jnp.pad(
             delta.reshape(b * h, t), ((0, 0), (0, tq - t))
         )
+        # scratch mode keeps the dq accumulator AND the output block
+        # VMEM-resident — double the budget charge
+        dq_copies = 2 if dq_mode == "scratch" else 1
         use_fused = (
             bwd_impl == "fused"
-            and tq * d * 4 <= _FUSED_DQ_VMEM_BUDGET
+            and dq_copies * tq * d * 4 <= _FUSED_DQ_VMEM_BUDGET
         )
         bwd = _bwd_call_fused if use_fused else _bwd_call
         dq, dk, dv = bwd(
@@ -1182,6 +1214,7 @@ def _measure_blocks(
     use_exp2: bool = False,
     prob_dtype: str = "f32",
     dimsem: bool = False,
+    dq_mode: str = "output",
 ) -> Tuple[int, int]:
     """Measure-at-first-use tuner (``MCA_FLASH_TUNE=measure``).
 
@@ -1207,7 +1240,7 @@ def _measure_blocks(
         f"{zlib.crc32(attn_mask.tobytes()):08x}:bh{b * h}:d{d}:"
         f"{np.dtype(dtype).name}:{bwd_impl}:{mask_mode}:"
         f"exp2{int(use_exp2)}:p{prob_dtype}:ds{int(dimsem)}:"
-        f"{jax.devices()[0].device_kind}"
+        f"dq{dq_mode}:{jax.devices()[0].device_kind}"
     )
     path = _tune_cache_path()
     cache = {}
@@ -1250,6 +1283,7 @@ def _measure_blocks(
             use_exp2=use_exp2,
             prob_dtype=prob_dtype,
             dimsem=dimsem,
+            dq_mode=dq_mode,
         )
 
         def obj(q, k, v):
@@ -1522,6 +1556,10 @@ def flash_masked_attention(
     prob_dtype = os.environ.get("MCA_FLASH_PROB_DTYPE", "f32")
     # Mosaic grid-dimension-semantics A/B knob (see _dimsem_params)
     dimsem = os.environ.get("MCA_FLASH_DIMSEM", "0") == "1"
+    # fused-bwd dq accumulator placement (see _fused_bwd_kernel):
+    # output (RMW on the output block) | scratch (VMEM accumulator,
+    # one copy to the output per batch-head)
+    dq_mode = os.environ.get("MCA_FLASH_DQ", "output")
     # row-band decomposition (see plan_bands): one launch per row band
     # with band-fitted blocks.  Default ON — measured TCGA 397.3k ->
     # 461.5k tok/s, CMU 379.4k -> 450.9k, zorro 399.4k -> 463.4k on the
@@ -1551,14 +1589,14 @@ def flash_masked_attention(
                         attn_mask[r0:r1, c0:c1], scale,
                         (q.shape[0], q.shape[1], r1 - r0, q.shape[3]),
                         q.dtype, bwd_impl, mask_mode, use_exp2,
-                        prob_dtype, dimsem,
+                        prob_dtype, dimsem, dq_mode,
                     )
                     for (r0, r1, c0, c1, _bq, _bk) in bands
                 ]
             bkey = (
                 "bands", attn_mask.tobytes(), attn_mask.shape,
                 float(scale), tuple(bands), bwd_impl, interpret,
-                mask_mode, use_exp2, prob_dtype, dimsem,
+                mask_mode, use_exp2, prob_dtype, dimsem, dq_mode,
             )
             if bkey not in _CACHE:
                 _CACHE[bkey] = make_banded_flash_attention(
@@ -1566,6 +1604,7 @@ def flash_masked_attention(
                     bwd_impl=bwd_impl, interpret=interpret,
                     mask_mode=mask_mode, use_exp2=use_exp2,
                     prob_dtype=prob_dtype, dimsem=dimsem,
+                    dq_mode=dq_mode,
                 )
             return _CACHE[bkey](q, k, v, key_padding_mask)
     if block_q is None or block_k is None:
@@ -1578,7 +1617,7 @@ def flash_masked_attention(
             # model's top candidates, disk-cached per mask/shape
             auto_q, auto_k = _measure_blocks(
                 attn_mask, scale, q.shape, q.dtype, bwd_impl,
-                mask_mode, use_exp2, prob_dtype, dimsem,
+                mask_mode, use_exp2, prob_dtype, dimsem, dq_mode,
             )
         else:
             auto_q, auto_k = _auto_blocks(attn_mask)
@@ -1596,6 +1635,7 @@ def flash_masked_attention(
         use_exp2,
         prob_dtype,
         dimsem,
+        dq_mode,
     )
     if key not in _CACHE:
         _CACHE[key] = make_flash_attention(
@@ -1609,5 +1649,6 @@ def flash_masked_attention(
             use_exp2=use_exp2,
             prob_dtype=prob_dtype,
             dimsem=dimsem,
+            dq_mode=dq_mode,
         )
     return _CACHE[key](q, k, v, key_padding_mask)
