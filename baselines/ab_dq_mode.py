@@ -38,7 +38,7 @@ def main():
     cl = case["cfg_like"]
     print(f"device={jax.devices()[0]} dataset={args.dataset}", flush=True)
     out = {}
-    for mode in ("output", "scratch"):
+    for mode in ("output", "scratch", "partial"):
         os.environ["MCA_FLASH_DQ"] = mode
         # per-mode kernel cache entries differ (dq_mode is in the key)
         meas = measure_attention(

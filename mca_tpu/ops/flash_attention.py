@@ -332,6 +332,7 @@ def _fused_bwd_kernel(
     scale: float, block_q: int, has_mask: bool = True,
     mask_mode: str = "select", use_exp2: bool = False,
     prob_dtype: str = "f32", dq_mode: str = "output",
+    body_order: str = "chain",
 ):
     """Single kv-major pass computing dq, dk and dv together.
 
@@ -349,7 +350,23 @@ def _fused_bwd_kernel(
     once per batch-head — an A/B arm for the roofline finding that
     the backward serializes MXU against VPU (PERF.md round 3: the
     read-modify-write on an *output* block is the prime suspect for
-    the broken software pipeline).
+    the broken software pipeline).  ``partial`` removes the hazard
+    entirely: every grid iteration writes its dq tile to its OWN
+    output slot (static index map ``t``, no read-modify-write, no
+    dynamic slice anywhere in the kernel), and the host-side wrapper
+    segment-sums the partials over the q-tile ids with a one-hot
+    einsum (gather/scatter measured slower than one-hot dots on TPU —
+    PERF.md MoE dispatch).
+
+    ``body_order`` probes *intra-body* MXU/VPU overlap — the one lever
+    the three-way dq A/B (all neutral) left unfalsified (PERF.md
+    round 3, ninth session): ``chain`` is the dependence-ordered
+    default; ``hoist`` issues the (independent) dp dot before the exp
+    sweep so an in-order scheduler can run them concurrently;
+    ``pair`` splits the kv tile into two half-width chains with their
+    MXU and VPU ops interleaved, so every VPU sweep has a
+    data-independent dot adjacent to it.  All three compute identical
+    math (``pair`` reorders only the dq contraction's accumulation).
     """
     if dq_mode == "scratch":
         *rest, dq_scr = rest
@@ -371,12 +388,14 @@ def _fused_bwd_kernel(
         t == nt - 1, kv_of[t] != kv_of[jnp.minimum(t + 1, nt - 1)]
     )
 
-    @pl.when(t == 0)
-    def _():
-        if dq_scr is None:
-            dq_ref[0] = jnp.zeros_like(dq_ref[0])
-        else:
-            dq_scr[:] = jnp.zeros_like(dq_scr)
+    if dq_mode != "partial":
+
+        @pl.when(t == 0)
+        def _():
+            if dq_scr is None:
+                dq_ref[0] = jnp.zeros_like(dq_ref[0])
+            else:
+                dq_scr[:] = jnp.zeros_like(dq_scr)
 
     @pl.when(kv_first)
     def _():
@@ -390,6 +409,7 @@ def _fused_bwd_kernel(
     # dk is divided back out once per kv-block flush.
     qscale = scale * LOG2E if use_exp2 else scale
     sdt = _prob_dt(prob_dtype)
+    expf = jnp.exp2 if use_exp2 else jnp.exp
     q = q_ref[0] * jnp.asarray(qscale, q_ref.dtype)
     k = k_ref[0]
     v = v_ref[0]
@@ -397,31 +417,87 @@ def _fused_bwd_kernel(
     # lse floor: dead rows yield p == 0 without a [bq, bk] where
     lse = jnp.maximum(lse_ref[0][:, :1], DEAD_CLAMP)
     delta = delta_ref[0][:, :1]
-    s = _score_dot(q, k, sdt)
-    s = _apply_masks(s, t, full_of, mask_ref, pad_ref, has_mask, mask_mode)
-    p = (jnp.exp2 if use_exp2 else jnp.exp)(s - lse.astype(sdt))
-    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
-        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ds = p * (dp - delta)
-    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    rows = pl.dslice(q_of[t] * block_q, block_q)
-    dq_tile = scale * jax.lax.dot_general(
-        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if dq_scr is None:
-        dq_ref[0, rows, :] = dq_ref[0, rows, :] + dq_tile
+
+    def _dot(a, b, dims):
+        return jax.lax.dot_general(
+            a, b, (dims, ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if body_order == "pair" and mask_mode == "select":
+        # two independent half-width chains, MXU/VPU interleaved
+        h2 = k.shape[0] // 2
+        k_a, k_b = k[:h2], k[h2:]
+        v_a, v_b = v[:h2], v[h2:]
+        s_a = _score_dot(q, k_a, sdt)
+        dp_a = _dot(do, v_a, ((1,), (1,)))
+        s_b = _score_dot(q, k_b, sdt)
+        dp_b = _dot(do, v_b, ((1,), (1,)))
+        pad_row = pad_ref[0][:1, :] != 0
+        if has_mask:
+            blocked = (mask_ref[:] != 0) | pad_row
+        else:
+            blocked = jnp.broadcast_to(pad_row, (1, k.shape[0]))
+        lse_s = lse.astype(sdt)
+        p_a = expf(jnp.where(blocked[:, :h2], NEG_INF, s_a) - lse_s)
+        ds_a = p_a * (dp_a - delta)
+        p_b = expf(jnp.where(blocked[:, h2:], NEG_INF, s_b) - lse_s)
+        dv_scr[:h2] = dv_scr[:h2] + _dot(
+            p_a.astype(do.dtype), do, ((0,), (0,))
+        )
+        ds_b = p_b * (dp_b - delta)
+        dv_scr[h2:] = dv_scr[h2:] + _dot(
+            p_b.astype(do.dtype), do, ((0,), (0,))
+        )
+        dk_scr[:h2] = dk_scr[:h2] + _dot(
+            ds_a.astype(q.dtype), q, ((0,), (0,))
+        )
+        dq_tile = _dot(ds_a.astype(k.dtype), k_a, ((1,), (0,)))
+        dk_scr[h2:] = dk_scr[h2:] + _dot(
+            ds_b.astype(q.dtype), q, ((0,), (0,))
+        )
+        dq_tile = scale * (
+            dq_tile + _dot(ds_b.astype(k.dtype), k_b, ((1,), (0,)))
+        )
+    elif body_order == "hoist":
+        # dp is independent of s/p: issue it before the exp sweep
+        s = _score_dot(q, k, sdt)
+        dp = _dot(do, v, ((1,), (1,)))
+        s = _apply_masks(
+            s, t, full_of, mask_ref, pad_ref, has_mask, mask_mode
+        )
+        p = expf(s - lse.astype(sdt))
+        ds = p * (dp - delta)
+        dv_scr[:] = dv_scr[:] + _dot(
+            p.astype(do.dtype), do, ((0,), (0,))
+        )
+        dk_scr[:] = dk_scr[:] + _dot(
+            ds.astype(q.dtype), q, ((0,), (0,))
+        )
+        dq_tile = scale * _dot(ds.astype(k.dtype), k, ((1,), (0,)))
     else:
-        dq_scr[rows, :] = dq_scr[rows, :] + dq_tile
+        s = _score_dot(q, k, sdt)
+        s = _apply_masks(
+            s, t, full_of, mask_ref, pad_ref, has_mask, mask_mode
+        )
+        p = expf(s - lse.astype(sdt))
+        dv_scr[:] = dv_scr[:] + _dot(
+            p.astype(do.dtype), do, ((0,), (0,))
+        )
+        dp = _dot(do, v, ((1,), (1,)))
+        ds = p * (dp - delta)
+        dk_scr[:] = dk_scr[:] + _dot(
+            ds.astype(q.dtype), q, ((0,), (0,))
+        )
+        dq_tile = scale * _dot(ds.astype(k.dtype), k, ((1,), (0,)))
+    if dq_mode == "partial":
+        dq_ref[0, 0] = dq_tile
+    else:
+        rows = pl.dslice(q_of[t] * block_q, block_q)
+        if dq_scr is None:
+            dq_ref[0, rows, :] = dq_ref[0, rows, :] + dq_tile
+        else:
+            dq_scr[rows, :] = dq_scr[rows, :] + dq_tile
 
     @pl.when(kv_last)
     def _():
@@ -662,6 +738,7 @@ def make_flash_attention(
     prob_dtype: str = "f32",
     dimsem: bool = False,
     dq_mode: str = "output",
+    body_order: str = "chain",
 ):
     """Build a flash-attention fn for one static mask.
 
@@ -934,6 +1011,23 @@ def make_flash_attention(
                 lambda b, t, qo, ko, fo: (b, qo[t], 0),
             ),
         ]
+        if dq_mode == "partial":
+            # one OWN output slot per grid iteration: static index
+            # map, no RMW, no dynamic slice — nothing orders grid
+            # iterations against each other on the dq buffer
+            dq_spec = pl.BlockSpec(
+                (1, 1, block_q, d), lambda b, t, qo, ko, fo: (b, t, 0, 0)
+            )
+            dq_shape = jax.ShapeDtypeStruct(
+                (bh, n_tiles, block_q, d), jnp.float32
+            )
+        else:
+            # dq: full-length fp32 block, resident for the whole
+            # inner grid (index depends on b only)
+            dq_spec = pl.BlockSpec(
+                (1, tq, d), lambda b, t, qo, ko, fo: (b, 0, 0)
+            )
+            dq_shape = jax.ShapeDtypeStruct((bh, tq, d), jnp.float32)
         dq, dk, dv = pl.pallas_call(
             functools.partial(
                 _fused_bwd_kernel,
@@ -944,17 +1038,14 @@ def make_flash_attention(
                 use_exp2=use_exp2,
                 prob_dtype=prob_dtype,
                 dq_mode=dq_mode,
+                body_order=body_order,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
                 grid=(bh, n_tiles),
                 in_specs=in_specs,
                 out_specs=[
-                    # dq: full-length fp32 block, resident for the
-                    # whole inner grid (index depends on b only)
-                    pl.BlockSpec(
-                        (1, tq, d), lambda b, t, qo, ko, fo: (b, 0, 0)
-                    ),
+                    dq_spec,
                     pl.BlockSpec(
                         (1, block_k, d),
                         lambda b, t, qo, ko, fo: (b, ko[t], 0),
@@ -974,7 +1065,7 @@ def make_flash_attention(
                 ),
             ),
             out_shape=[
-                jax.ShapeDtypeStruct((bh, tq, d), jnp.float32),
+                dq_shape,
                 jax.ShapeDtypeStruct((bh, tk, d), q.dtype),
                 jax.ShapeDtypeStruct((bh, tk, d), q.dtype),
             ],
@@ -982,6 +1073,21 @@ def make_flash_attention(
             **_dimsem_params(dimsem),
         )(sched_kv[0], sched_kv[1], sched_kv[2], q, k, v,
           *mask_op, pad8, do, lse, delta)
+        if dq_mode == "partial":
+            # segment-sum the per-tile partials over q-tile ids with a
+            # one-hot dot (MXU; scatter-add serialises on TPU).  nq is
+            # static: tq is padded to a block_q multiple.
+            nq = tq // block_q
+            onehot = (
+                sched_kv[0][:, None] == jnp.arange(nq)[None, :]
+            ).astype(jnp.float32)  # [n_tiles, nq]
+            dq = jax.lax.dot_general(
+                onehot,
+                dq.reshape(bh, n_tiles, block_q * d),
+                (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [nq, bh, block_q * d]
+            dq = dq.transpose(1, 0, 2).reshape(bh, tq, d)
         return dq.astype(q.dtype), dk, dv
 
     # Local (per-shard) implementations at the [B, H, T, D] level.
@@ -1023,11 +1129,13 @@ def make_flash_attention(
             delta.reshape(b * h, t), ((0, 0), (0, tq - t))
         )
         # scratch mode keeps the dq accumulator AND the output block
-        # VMEM-resident — double the budget charge
+        # VMEM-resident — double the budget charge; partial mode keeps
+        # only one (block_q, d) slot resident, so the full-length
+        # budget gate does not apply
         dq_copies = 2 if dq_mode == "scratch" else 1
-        use_fused = (
-            bwd_impl == "fused"
-            and dq_copies * tq * d * 4 <= _FUSED_DQ_VMEM_BUDGET
+        use_fused = bwd_impl == "fused" and (
+            dq_mode == "partial"
+            or dq_copies * tq * d * 4 <= _FUSED_DQ_VMEM_BUDGET
         )
         bwd = _bwd_call_fused if use_fused else _bwd_call
         dq, dk, dv = bwd(
@@ -1215,6 +1323,7 @@ def _measure_blocks(
     prob_dtype: str = "f32",
     dimsem: bool = False,
     dq_mode: str = "output",
+    body_order: str = "chain",
 ) -> Tuple[int, int]:
     """Measure-at-first-use tuner (``MCA_FLASH_TUNE=measure``).
 
@@ -1240,7 +1349,7 @@ def _measure_blocks(
         f"{zlib.crc32(attn_mask.tobytes()):08x}:bh{b * h}:d{d}:"
         f"{np.dtype(dtype).name}:{bwd_impl}:{mask_mode}:"
         f"exp2{int(use_exp2)}:p{prob_dtype}:ds{int(dimsem)}:"
-        f"dq{dq_mode}:{jax.devices()[0].device_kind}"
+        f"dq{dq_mode}:bo{body_order}:{jax.devices()[0].device_kind}"
     )
     path = _tune_cache_path()
     cache = {}
@@ -1284,6 +1393,7 @@ def _measure_blocks(
             prob_dtype=prob_dtype,
             dimsem=dimsem,
             dq_mode=dq_mode,
+            body_order=body_order,
         )
 
         def obj(q, k, v):
@@ -1558,8 +1668,12 @@ def flash_masked_attention(
     dimsem = os.environ.get("MCA_FLASH_DIMSEM", "0") == "1"
     # fused-bwd dq accumulator placement (see _fused_bwd_kernel):
     # output (RMW on the output block) | scratch (VMEM accumulator,
-    # one copy to the output per batch-head)
+    # one copy to the output per batch-head) | partial (own output
+    # slot per iteration + host-side one-hot segment-sum)
     dq_mode = os.environ.get("MCA_FLASH_DQ", "output")
+    # fused-bwd body statement order (see _fused_bwd_kernel):
+    # chain | hoist | pair — intra-body MXU/VPU overlap A/B
+    body_order = os.environ.get("MCA_FLASH_BWD_ORDER", "chain")
     # row-band decomposition (see plan_bands): one launch per row band
     # with band-fitted blocks.  Default ON — measured TCGA 397.3k ->
     # 461.5k tok/s, CMU 379.4k -> 450.9k, zorro 399.4k -> 463.4k on the
@@ -1589,7 +1703,7 @@ def flash_masked_attention(
                         attn_mask[r0:r1, c0:c1], scale,
                         (q.shape[0], q.shape[1], r1 - r0, q.shape[3]),
                         q.dtype, bwd_impl, mask_mode, use_exp2,
-                        prob_dtype, dimsem, dq_mode,
+                        prob_dtype, dimsem, dq_mode, body_order,
                     )
                     for (r0, r1, c0, c1, _bq, _bk) in bands
                 ]
@@ -1597,6 +1711,7 @@ def flash_masked_attention(
                 "bands", attn_mask.tobytes(), attn_mask.shape,
                 float(scale), tuple(bands), bwd_impl, interpret,
                 mask_mode, use_exp2, prob_dtype, dimsem, dq_mode,
+                body_order,
             )
             if bkey not in _CACHE:
                 _CACHE[bkey] = make_banded_flash_attention(
@@ -1604,7 +1719,7 @@ def flash_masked_attention(
                     bwd_impl=bwd_impl, interpret=interpret,
                     mask_mode=mask_mode, use_exp2=use_exp2,
                     prob_dtype=prob_dtype, dimsem=dimsem,
-                    dq_mode=dq_mode,
+                    dq_mode=dq_mode, body_order=body_order,
                 )
             return _CACHE[bkey](q, k, v, key_padding_mask)
     if block_q is None or block_k is None:
@@ -1618,6 +1733,7 @@ def flash_masked_attention(
             auto_q, auto_k = _measure_blocks(
                 attn_mask, scale, q.shape, q.dtype, bwd_impl,
                 mask_mode, use_exp2, prob_dtype, dimsem, dq_mode,
+                body_order,
             )
         else:
             auto_q, auto_k = _auto_blocks(attn_mask)
@@ -1636,6 +1752,7 @@ def flash_masked_attention(
         prob_dtype,
         dimsem,
         dq_mode,
+        body_order,
     )
     if key not in _CACHE:
         _CACHE[key] = make_flash_attention(
@@ -1650,5 +1767,6 @@ def flash_masked_attention(
             prob_dtype=prob_dtype,
             dimsem=dimsem,
             dq_mode=dq_mode,
+            body_order=body_order,
         )
     return _CACHE[key](q, k, v, key_padding_mask)

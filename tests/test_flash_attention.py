@@ -768,13 +768,16 @@ def test_measure_blocks_rectangular(rng, tmp_path, monkeypatch):
     ) == (bq, bk)
 
 
-def test_dq_scratch_mode_matches_dense(rng, monkeypatch):
+@pytest.mark.parametrize("dq_mode", ["scratch", "partial"])
+def test_dq_mode_matches_dense(rng, monkeypatch, dq_mode):
     """MCA_FLASH_DQ=scratch (fused-bwd dq accumulates in VMEM scratch,
-    one output copy per batch-head) produces the same values and
-    gradients as the dense oracle — the A/B arm for the roofline
-    finding that the dq output read-modify-write serializes the
-    backward's pipeline (PERF.md round 3)."""
-    monkeypatch.setenv("MCA_FLASH_DQ", "scratch")
+    one output copy per batch-head) and =partial (every grid iteration
+    writes its own output slot; one-hot segment-sum outside the
+    kernel) produce the same values and gradients as the dense
+    oracle — A/B arms for the roofline finding that the dq
+    read-modify-write hazard serializes the backward's pipeline
+    (PERF.md round 3)."""
+    monkeypatch.setenv("MCA_FLASH_DQ", dq_mode)
     ms = M.build_masks([96, 64], 66, [2, 1])
     t = ms.seq_len
     q, k, v = _rand_qkv(rng, 2, 2, t, 64)
@@ -806,16 +809,65 @@ def test_dq_scratch_mode_matches_dense(rng, monkeypatch):
     for name, a, b in zip("qkv", gd, gf):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=2e-4,
-            err_msg=f"d{name} mismatch (dq_mode=scratch)",
+            err_msg=f"d{name} mismatch (dq_mode={dq_mode})",
         )
 
 
-def test_dq_scratch_mode_banded(rng, monkeypatch):
-    """dq_mode=scratch composes with the row-band decomposition: the
-    banded kernel's gradients still match the dense oracle."""
+@pytest.mark.parametrize("body_order", ["hoist", "pair"])
+def test_bwd_body_order_matches_dense(rng, monkeypatch, body_order):
+    """MCA_FLASH_BWD_ORDER=hoist (dp dot issued before the exp sweep)
+    and =pair (two interleaved half-width chains) — intra-body
+    MXU/VPU overlap A/B arms — produce the same values and gradients
+    as the dense oracle (pair reorders only the dq contraction's
+    accumulation)."""
+    monkeypatch.setenv("MCA_FLASH_BWD_ORDER", body_order)
+    ms = M.build_masks([96, 64], 66, [2, 1])
+    t = ms.seq_len
+    q, k, v = _rand_qkv(rng, 2, 2, t, 64)
+    pad = np.zeros((2, t), bool)
+    pad[0, 96:130] = True
+    pad_j = jnp.asarray(pad)
+    mask_j = jnp.asarray(ms.attn_mask)
+    blocked = np.asarray(ms.attn_mask)[None] | pad[:, None, :]
+    live = jnp.asarray(~blocked.all(axis=2))
+    w = jnp.asarray(rng.normal(size=(2, 2, t, 64)).astype(np.float32))
+
+    def obj_dense(q, k, v):
+        o = dense_masked_attention(
+            q, k, v, scale=SCALE, attn_mask=mask_j,
+            key_padding_mask=pad_j,
+        )
+        return (o * w * live[:, None, :, None]).sum()
+
+    def obj_flash(q, k, v):
+        o = flash_masked_attention(
+            q, k, v, scale=SCALE, attn_mask=ms.attn_mask,
+            key_padding_mask=pad_j, block_q=64, block_k=64,
+            bwd_impl="fused", interpret=True,
+        )
+        return (o * w * live[:, None, :, None]).sum()
+
+    gd = jax.grad(obj_dense, argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(obj_flash, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", gd, gf):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4,
+            err_msg=f"d{name} mismatch (body_order={body_order})",
+        )
+
+
+@pytest.mark.parametrize(
+    "dq_mode,body_order",
+    [("scratch", "chain"), ("partial", "chain"), ("output", "pair")],
+)
+def test_dq_mode_banded(rng, monkeypatch, dq_mode, body_order):
+    """Non-default dq modes / body orders compose with the row-band
+    decomposition: the banded kernel's gradients still match the dense
+    oracle."""
     import mca_tpu.ops.flash_attention as F
 
-    monkeypatch.setenv("MCA_FLASH_DQ", "scratch")
+    monkeypatch.setenv("MCA_FLASH_DQ", dq_mode)
+    monkeypatch.setenv("MCA_FLASH_BWD_ORDER", body_order)
     monkeypatch.setenv("MCA_FLASH_BANDS", "1")
     ms = M.build_masks([24, 31], 27, [2, 1])
     mask = np.asarray(ms.attn_mask, bool)
@@ -850,5 +902,5 @@ def test_dq_scratch_mode_banded(rng, monkeypatch):
     for name, a, b in zip("qkv", gd, gf):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=2e-4,
-            err_msg=f"d{name} mismatch (banded dq_mode=scratch)",
+            err_msg=f"d{name} mismatch (banded dq_mode={dq_mode})",
         )
