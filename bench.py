@@ -21,11 +21,78 @@ from __future__ import annotations
 
 import json
 import os
+import sys
+import threading
 import time
+
+_T0 = time.time()
+_PHASE = ["init"]  # mutated as the run advances; read by the watchdog
+_LAST_GOOD = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST_GOOD.json"
+)
+
+
+def _note(phase: str) -> None:
+    """Phase progress to stderr (stdout is reserved for the ONE JSON
+    line the driver parses)."""
+    _PHASE[0] = phase
+    print(f"[bench +{time.time() - _T0:.0f}s] {phase}", file=sys.stderr, flush=True)
+
+
+def _fallback_record(reason: str) -> dict:
+    """Honest-zero record with the last real measurement attached.
+
+    Emitted when the accelerator is unreachable or the wall-clock
+    budget expires (round 3 lost its official bench record to an
+    unbounded device wait + driver kill — VERDICT.md r3 item 1)."""
+    rec = {
+        "metric": "mca_tcga_pretrain_throughput",
+        "value": 0.0,
+        "unit": "tokens/sec/chip",
+        "vs_baseline": 0.0,
+        "error": reason,
+    }
+    try:
+        with open(_LAST_GOOD) as f:
+            rec["last_measured"] = json.load(f)
+    except Exception:
+        pass
+    return rec
+
+
+def _emit(rec: dict) -> None:
+    print(json.dumps(rec), flush=True)
+
+
+def _arm_watchdog(done: threading.Event) -> float:
+    """Hard wall-clock budget for the WHOLE bench: if anything (device
+    wait, cold remote compile, a hung collective) would push past it,
+    print a parsed fallback JSON line and exit 0 — the official record
+    must never be an empty rc=124 slot again."""
+    budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
+
+    def _watch() -> None:
+        if not done.wait(max(0.0, _T0 + budget - time.time())):
+            _emit(
+                _fallback_record(
+                    f"bench exceeded its {budget:.0f}s wall-clock "
+                    f"budget during phase '{_PHASE[0]}'; last real "
+                    "measurement attached as last_measured"
+                )
+            )
+            os._exit(0)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    return budget
 
 
 def main() -> None:
-    """Env overrides: BENCH_DATASET=tcga|cmu, BENCH_BATCH, BENCH_K."""
+    """Env overrides: BENCH_DATASET=tcga|cmu, BENCH_BATCH, BENCH_K,
+    BENCH_BUDGET_S (whole-run wall clock), BENCH_DEVICE_WAIT_S."""
+    done = threading.Event()
+    budget = _arm_watchdog(done)
+    _note(f"start (budget {budget:.0f}s)")
+
     import jax
     import jax.numpy as jnp
 
@@ -49,32 +116,29 @@ def main() -> None:
 
     # the remote TPU backend blocks INDEFINITELY in a connect-retry
     # loop when the tunnel is down (observed round 3) — probe in a
-    # bounded subprocess first, re-probing for a while (outages have
-    # been transient), and emit an honest zero-valued JSON line rather
-    # than hanging the driver if the accelerator never appears
-    wait_s = float(os.environ.get("BENCH_DEVICE_WAIT_S", "900"))
+    # bounded subprocess first, re-probing briefly (outages have been
+    # transient), and emit an honest zero-valued JSON line rather than
+    # hanging the driver if the accelerator never appears.  The probe
+    # window stays well inside the whole-run budget so a down tunnel
+    # still leaves time to print.
+    wait_s = float(os.environ.get("BENCH_DEVICE_WAIT_S", "150"))
+    _note(f"probing accelerator (<= {wait_s:.0f}s)")
     deadline = time.time() + wait_s
-    n_dev = ge._probed_device_count()
+    n_dev = ge._probed_device_count(timeout=60.0)
     while n_dev == 0 and time.time() < deadline:
-        time.sleep(30)
-        n_dev = ge._probed_device_count()
+        time.sleep(15)
+        n_dev = ge._probed_device_count(timeout=60.0)
     if n_dev == 0:
-        print(
-            json.dumps(
-                {
-                    "metric": "mca_tcga_pretrain_throughput",
-                    "value": 0.0,
-                    "unit": "tokens/sec/chip",
-                    "vs_baseline": 0.0,
-                    "error": (
-                        "accelerator unreachable (remote TPU tunnel "
-                        f"down) after {int(wait_s)}s of bounded "
-                        "probes; see BENCH history for real numbers"
-                    ),
-                }
+        _emit(
+            _fallback_record(
+                "accelerator unreachable (remote TPU tunnel down) "
+                f"after {int(wait_s)}s of bounded probes; last real "
+                "measurement attached as last_measured"
             )
         )
+        done.set()
         return
+    _note(f"{n_dev} device(s) up; building model + batch")
 
     dataset = os.environ.get("BENCH_DATASET", "tcga")
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
@@ -233,8 +297,13 @@ def main() -> None:
         )
 
     # compile + warmup
+    _note(
+        "compiling + warmup launch (cached compiles take seconds; a "
+        "cold remote compile past the budget trips the watchdog)"
+    )
     state, packed = train_steps(state, stacked)
     jax.block_until_ready(packed)
+    _note("compiled; timing")
 
     n_calls = 2
     t0 = time.perf_counter()
@@ -342,8 +411,7 @@ def main() -> None:
             if base.get("compiled_step_time_s") is not None:
                 baseline_note += " (best of eager / torch.compile)"
 
-    print(
-        json.dumps(
+    rec = (
             {
                 "metric": (
                     f"{dataset.upper()}_config1 "
@@ -377,8 +445,28 @@ def main() -> None:
                 "mfu": round(mfu, 4) if mfu else None,
                 "baseline_note": baseline_note,
             }
-        )
     )
+    done.set()  # real result in hand — disarm the watchdog
+    # persist as the last-known-good record the fallback line attaches
+    # (only the canonical, un-overridden configuration qualifies)
+    if (
+        dataset == "tcga"
+        and not variant
+        and not scale_overrides
+        and batch_size == 8
+        and not os.environ.get("BENCH_MOE")
+    ):
+        try:
+            with open(_LAST_GOOD, "w") as f:
+                json.dump(
+                    dict(rec, measured_at=time.strftime("%Y-%m-%d %H:%M:%S")),
+                    f,
+                    indent=1,
+                )
+                f.write("\n")
+        except Exception:
+            pass
+    _emit(rec)
 
 
 if __name__ == "__main__":

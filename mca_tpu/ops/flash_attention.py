@@ -28,6 +28,7 @@ same tile set, so the backward is block-sparse too.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -57,6 +58,13 @@ DEAD_CLAMP = -1e29
 # beyond this budget (longer packs / fatter heads) fall back to the
 # split backward, which tiles dq like every other operand
 _FUSED_DQ_VMEM_BUDGET = int(4 * 1024 * 1024)
+# dq_mode=partial writes one fp32 dq tile per visited grid iteration
+# to HBM (bh, n_tiles, block_q, d); cap that buffer and fall back to
+# the split backward past it (ADVICE r3 — unguarded it can reach
+# multiple GB on large dense-ish masks)
+_PARTIAL_DQ_HBM_BUDGET = int(
+    float(os.environ.get("MCA_FLASH_PARTIAL_DQ_HBM_GB", "1.0")) * 2**30
+)
 
 
 def _pad_to(x: int, m: int) -> int:
@@ -1081,11 +1089,17 @@ def make_flash_attention(
             onehot = (
                 sched_kv[0][:, None] == jnp.arange(nq)[None, :]
             ).astype(jnp.float32)  # [n_tiles, nq]
+            # HIGHEST precision: the onehot operand is exact 0/1, but
+            # default TPU matmul precision would multiply the f32
+            # partials in bf16, truncating each tile before the
+            # cross-tile sum (ADVICE r3) — partial mode must accumulate
+            # pure f32 like the output/scratch arms
             dq = jax.lax.dot_general(
                 onehot,
                 dq.reshape(bh, n_tiles, block_q * d),
                 (((0,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # [nq, bh, block_q * d]
             dq = dq.transpose(1, 0, 2).reshape(bh, tq, d)
         return dq.astype(q.dtype), dk, dv
@@ -1130,12 +1144,23 @@ def make_flash_attention(
         )
         # scratch mode keeps the dq accumulator AND the output block
         # VMEM-resident — double the budget charge; partial mode keeps
-        # only one (block_q, d) slot resident, so the full-length
-        # budget gate does not apply
+        # only one (block_q, d) slot resident, so the full-length VMEM
+        # budget gate does not apply — but its per-tile fp32 HBM
+        # output grows with the visited tile count (bh x n_tiles x
+        # block_q x d) and can reach GBs on large dense-ish masks
+        # (ADVICE r3): bound it and fall back to the split backward
         dq_copies = 2 if dq_mode == "scratch" else 1
-        use_fused = bwd_impl == "fused" and (
+        partial_ok = (
             dq_mode == "partial"
-            or dq_copies * tq * d * 4 <= _FUSED_DQ_VMEM_BUDGET
+            and b * h * n_tiles * block_q * d * 4
+            <= _PARTIAL_DQ_HBM_BUDGET
+        )
+        use_fused = bwd_impl == "fused" and (
+            partial_ok
+            or (
+                dq_mode != "partial"
+                and dq_copies * tq * d * 4 <= _FUSED_DQ_VMEM_BUDGET
+            )
         )
         bwd = _bwd_call_fused if use_fused else _bwd_call
         dq, dk, dv = bwd(
@@ -1672,8 +1697,20 @@ def flash_masked_attention(
     # slot per iteration + host-side one-hot segment-sum)
     dq_mode = os.environ.get("MCA_FLASH_DQ", "output")
     # fused-bwd body statement order (see _fused_bwd_kernel):
-    # chain | hoist | pair — intra-body MXU/VPU overlap A/B
+    # chain | hoist | pair — intra-body MXU/VPU overlap A/B.
+    # pair is implemented for the default mask_mode=select only; an
+    # A/B combining it with add/skip would silently measure chain and
+    # misattribute the result (ADVICE r3) — warn loudly.
     body_order = os.environ.get("MCA_FLASH_BWD_ORDER", "chain")
+    if body_order == "pair" and mask_mode != "select":
+        import warnings
+
+        warnings.warn(
+            "MCA_FLASH_BWD_ORDER=pair is only implemented for "
+            f"MCA_FLASH_MASK_MODE=select (got {mask_mode!r}); the "
+            "kernel will run the 'chain' body instead",
+            stacklevel=2,
+        )
     # row-band decomposition (see plan_bands): one launch per row band
     # with band-fitted blocks.  Default ON — measured TCGA 397.3k ->
     # 461.5k tok/s, CMU 379.4k -> 450.9k, zorro 399.4k -> 463.4k on the
