@@ -620,9 +620,13 @@ def fill_adam_state(
         )
 
     cur_nu = otu.tree_get(opt_state, "nu")
-    return otu.tree_set(
+    filled = otu.tree_set(
         opt_state,
         mu=_like(mu_tree, cur_mu),
         nu=_like(nu_tree, cur_nu),
         count=jnp.asarray(count, jnp.int32),
     )
+    # tree_set inserts the SAME count array at every count site; the
+    # donated train step rejects aliased leaves — copy to distinct
+    # buffers (one-time import cost)
+    return jax.tree.map(jnp.array, filled)

@@ -16,6 +16,17 @@ infer configs.
 reference-named safetensors state_dict; with ``--from-orbax DIR``
 instead of a torch checkpoint, it exports OUR trained params so the
 reference's own scripts can load them.
+
+``--with-optimizer`` (checkpoint must be an Accelerate ``save_state``
+directory containing ``optimizer.bin``) also imports the AdamW
+moments and the scheduler step, writing a full train-state checkpoint
+(``<out_dir>/state``) instead of a params-only one — so a reference
+training run CONTINUES mid-stream on TPU with its optimizer memory
+intact (trajectory-parity-tested in tests/test_optimizer_interop.py).
+``--state-mode`` picks the optimizer-state layout: ``flat`` (default —
+matches the production flat single-vector training mode) or ``tree``
+(``flat_state: false`` / tensor-parallel runs).  A mode mismatch at
+restart falls back to params-only restore with a warning.
 """
 
 from __future__ import annotations
@@ -83,6 +94,64 @@ def _load_orbax_params(ckpt, path: str):
     return ckpt.load_params(path)
 
 
+def _import_with_optimizer(args, cfg, ckpt, params, model_sd) -> None:
+    """Build a full train-state checkpoint (params + filled optax
+    state + step) in the requested layout and save it under
+    ``<out_dir>/state`` — the directory shape ``restart:`` restores."""
+    import os
+
+    import jax.numpy as jnp
+
+    from mca_tpu.interop import (
+        fill_adam_state,
+        import_optimizer_state,
+        load_accelerate_dir,
+    )
+    from mca_tpu.train import make_flat_apparatus, make_optimizer
+
+    if not os.path.isdir(args.checkpoint):
+        raise SystemExit(
+            "--with-optimizer needs an accelerate save_state "
+            "DIRECTORY (optimizer.bin lives next to the weights)"
+        )
+    saved = load_accelerate_dir(args.checkpoint)
+    if saved["optimizer"] is None:
+        raise SystemExit(
+            f"no optimizer.bin under {args.checkpoint}"
+        )
+    mu, nu, opt_count = import_optimizer_state(
+        saved["optimizer"],
+        params,
+        modalities=list(cfg.encoder_configs.keys()),
+        model_sd=model_sd,
+    )
+    step = (
+        saved["scheduler_step"]
+        if saved["scheduler_step"] is not None
+        else opt_count
+    )
+    # the optax state STRUCTURE does not depend on the schedule
+    # horizon (only its count/moment leaves matter), so any
+    # num_training_steps builds the right template
+    if args.state_mode == "flat":
+        flat0, _unravel, flat_tx = make_flat_apparatus(cfg, 1000, params)
+        opt_state = fill_adam_state(flat_tx.init(flat0), mu, nu, step)
+    else:
+        tx = make_optimizer(cfg, 1000)
+        opt_state = fill_adam_state(tx.init(params), mu, nu, step)
+    state = {
+        "params": params,
+        "opt_state": opt_state,
+        "step": jnp.asarray(step, jnp.int32),
+    }
+    ckpt.save_state(state, args.out_dir)
+    logger.info(
+        "optimizer moments + step %d imported (%s layout)",
+        step,
+        args.state_mode,
+    )
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("config", help="reference-format train config YAML")
@@ -97,6 +166,21 @@ def main(argv=None) -> int:
         "--from-orbax",
         metavar="DIR",
         help="export OUR params from this Orbax dir (no torch import)",
+    )
+    ap.add_argument(
+        "--with-optimizer",
+        action="store_true",
+        help=(
+            "also import AdamW moments + scheduler step from an "
+            "accelerate save_state dir (optimizer.bin/scheduler.bin) "
+            "into a full train-state checkpoint"
+        ),
+    )
+    ap.add_argument(
+        "--state-mode",
+        choices=("flat", "tree"),
+        default="flat",
+        help="optimizer-state layout of the run that will restart",
     )
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
@@ -120,7 +204,10 @@ def main(argv=None) -> int:
         sd = load_torch_state_dict(args.checkpoint)
         params = init_params(cfg)
         params, report = import_state_dict(sd, params)
-        ckpt.save_params(params, args.out_dir)
+        if args.with_optimizer:
+            _import_with_optimizer(args, cfg, ckpt, params, sd)
+        else:
+            ckpt.save_params(params, args.out_dir)
         logger.info(
             "imported %d tensors -> %s (%d reference keys unused: %s)",
             len(report["matched"]),

@@ -136,9 +136,10 @@ def test_flat_state_moment_injection():
     want = np.asarray(ravel_pytree(mu)[0])
     np.testing.assert_allclose(got_mu[: want.size], want, rtol=1e-6)
     assert np.all(got_mu[want.size:] == 0)  # padded tail inert
-    counts = []
-    jax.tree.map(lambda _: None, filled)  # structure intact
-    assert int(otu.tree_get(filled, "count")) == K_SAVE or counts == []
+    # EVERY count field (scale_by_adam bias correction AND
+    # scale_by_schedule) must land on the imported step
+    counts = otu.tree_get_all_with_path(filled, "count")
+    assert counts and all(int(v) == K_SAVE for _, v in counts)
 
 
 def test_midstream_continuation_matches_reference(
@@ -270,3 +271,108 @@ def test_midstream_continuation_matches_reference(
         ),
     )
     assert abs(our_losses[-1] - our_losses[0]) > 1e-4
+
+
+def test_import_checkpoint_tool_with_optimizer(tmp_path):
+    """End-to-end CLI wiring: a synthesized accelerate save_state dir
+    (reference-named weights + torch AdamW state dict + scheduler)
+    imports into a restorable full train-state checkpoint."""
+    torch = pytest.importorskip("torch")
+    import yaml
+
+    import optax.tree_utils as otu
+
+    from mca_tpu import checkpoint as ckpt
+    from mca_tpu.data.synthetic import tiny_config
+    from mca_tpu.interop import export_state_dict, ref_param_names
+    from mca_tpu.tools.import_checkpoint import main as tool_main
+
+    cfg_dict = tiny_config(
+        "tcga", widths=WIDTHS, batch_size=4, num_fusion_tokens=22
+    )
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg_dict))
+
+    cfg = training_config_from_dict(cfg_dict)
+    mc = get_model_config(cfg)
+    model = build_model(mc)
+    batch = MultimodalCollator(cfg.modality_config.to_plain())(
+        make_tcga_like(4, widths=WIDTHS, p_missing=0.3, seed=7)
+    )
+    params = jax.jit(model.init)(
+        jax.random.key(0), jax.tree.map(jnp.asarray, batch)
+    )
+
+    # synthesize the accelerate dir from OUR params
+    sd = export_state_dict(params)
+    save_dir = tmp_path / "acc"
+    save_dir.mkdir()
+    torch.save(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        save_dir / "pytorch_model.bin",
+    )
+    names = ref_param_names(params, modalities=list(WIDTHS))
+    rng = np.random.default_rng(0)
+    opt_sd = {
+        "state": {
+            i: {
+                "step": torch.tensor(5.0),
+                "exp_avg": torch.from_numpy(
+                    np.asarray(
+                        rng.standard_normal(sd[n].shape), np.float32
+                    )
+                ),
+                "exp_avg_sq": torch.from_numpy(
+                    np.asarray(
+                        np.abs(rng.standard_normal(sd[n].shape)),
+                        np.float32,
+                    )
+                ),
+            }
+            for i, n in enumerate(names)
+        },
+        "param_groups": [
+            {"params": list(range(len(names))), "lr": LR}
+        ],
+    }
+    torch.save(opt_sd, save_dir / "optimizer.bin")
+    torch.save({"last_epoch": 5}, save_dir / "scheduler.bin")
+
+    out_dir = tmp_path / "orbax"
+    rc = tool_main(
+        [
+            str(cfg_path),
+            str(save_dir),
+            str(out_dir),
+            "--with-optimizer",
+        ]
+    )
+    assert rc == 0
+    restored = ckpt.load_state(str(out_dir))
+    assert int(np.asarray(restored["step"])) == 5
+    counts = otu.tree_get_all_with_path(restored["opt_state"], "count")
+    assert counts and all(int(v) == 5 for _, v in counts)
+    mu_flat = np.asarray(otu.tree_get(restored["opt_state"], "mu"))
+    # the first named parameter is fusion_tokens — its exp_avg must
+    # sit at the head of the raveled moment vector iff tree order and
+    # ravel order agree
+    from jax.flatten_util import ravel_pytree
+
+    p = params["params"]
+    want_first = np.asarray(
+        opt_sd["state"][names.index("fusion_tokens")]["exp_avg"]
+    ).ravel()
+    flat_params, _ = ravel_pytree(params)
+    assert mu_flat.shape == flat_params.shape
+    # locate fusion_tokens' offset in the ravel order
+    import jax.tree_util as jtu
+
+    leaves = jtu.tree_leaves_with_path(params)
+    off = 0
+    for path, leaf in leaves:
+        if "fusion_tokens" in jtu.keystr(path):
+            break
+        off += int(np.size(leaf))
+    np.testing.assert_allclose(
+        mu_flat[off : off + want_first.size], want_first, rtol=1e-6
+    )
