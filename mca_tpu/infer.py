@@ -20,6 +20,7 @@ inference jits over whatever mesh is configured.
 from __future__ import annotations
 
 import logging
+import os
 import sys
 from collections import defaultdict
 from typing import Any, Dict
@@ -334,6 +335,11 @@ def main(argv=None) -> None:
     from mca_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+    # forward-only process: the fused GEGLU-FF Pallas kernel is a pure
+    # win without a backward (fwd 0.811 -> 0.611 ms/layer, PERF.md
+    # round 4); training keeps the XLA path (see
+    # models.layers._fused_ff_mode).  setdefault: explicit env wins.
+    os.environ.setdefault("MCA_FUSED_FF", "auto")
 
     from mca_tpu.parallel.multihost import init_multihost
 

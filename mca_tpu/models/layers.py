@@ -87,6 +87,23 @@ class LayerNorm(nn.Module):
         )(x)
 
 
+def _fused_ff_mode() -> str:
+    """``MCA_FUSED_FF``: ``0`` (default — XLA FF) | ``1`` (fused
+    Pallas FF; interpret mode off-TPU) | ``auto`` (fused on TPU).
+
+    The fused kernel keeps the [N, 2*inner] GEGLU activation
+    VMEM-resident (the weights are small enough to pin), cutting
+    ~166 MB of HBM round-trips per layer: measured FORWARD 0.811 ->
+    0.611 ms/layer at canonical scale (baselines/ab_fused_ff.py).
+    Its backward must recompute the inner activations from the saved
+    input (mca_tpu.ops.fused_ff), and that recompute measured NET
+    NEGATIVE for training end-to-end (bench A/B: 447.8k vs 466.0k
+    tok/s, PERF.md round 4) — so TRAINING defaults to the XLA path,
+    and the forward-only entry points (infer / serve / AOT export)
+    default the env to the fused kernel instead."""
+    return os.environ.get("MCA_FUSED_FF", "0")
+
+
 class FeedForward(nn.Module):
     """GEGLU feedforward (ref model.py:35-54)."""
 
@@ -99,6 +116,25 @@ class FeedForward(nn.Module):
     def __call__(self, x: Array) -> Array:
         inner = int(self.dim * self.mult * 2 / 3)
         x = x.astype(self.dtype)
+        mode = _fused_ff_mode()
+        fused = self.quant == "none" and (
+            mode == "1"
+            or (mode == "auto" and jax.default_backend() == "tpu")
+        )
+        if fused:
+            from mca_tpu.ops.fused_ff import fused_geglu_ff
+
+            # identical param tree to the Dense path (w_in/kernel,
+            # w_out/kernel — see _ProjKernel)
+            w1 = _ProjKernel(inner * 2, name="w_in")(x.shape[-1])
+            w2 = _ProjKernel(self.dim, name="w_out")(inner)
+            return fused_geglu_ff(
+                x,
+                w1.astype(self.dtype),
+                w2.astype(self.dtype),
+                256,
+                jax.default_backend() != "tpu",
+            )
         h = _make_dense(inner * 2, self.dtype, "w_in", self.quant)(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = jax.nn.gelu(gate, approximate=False) * h

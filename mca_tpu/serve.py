@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import queue
 import threading
 from concurrent.futures import Future
@@ -403,6 +404,10 @@ def main(argv=None) -> None:
     from mca_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+    # forward-only process: the fused GEGLU-FF Pallas kernel is a pure
+    # win without a backward (PERF.md round 4); setdefault so an
+    # explicit env wins.
+    os.environ.setdefault("MCA_FUSED_FF", "auto")
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
         "config",

@@ -123,6 +123,7 @@ def load_aot(path: str):
 
 def main(argv=None) -> None:
     import argparse
+    import os
     import sys
 
     import numpy as np
@@ -131,6 +132,9 @@ def main(argv=None) -> None:
     from mca_tpu.data.collators import MultimodalCollator
 
     logging.basicConfig(level=logging.INFO)
+    # forward-only export: fused GEGLU-FF is a pure win without a
+    # backward (PERF.md round 4); explicit env wins.
+    os.environ.setdefault("MCA_FUSED_FF", "auto")
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("config")
     p.add_argument("--restart", default=None)

@@ -40,6 +40,7 @@ def _stage_cmu(tmp_path, n=32):
     ],
     ids=["mca", "zorro", "eao"],
 )
+@pytest.mark.slow
 def test_cmu_train_variant(tmp_path, variant):
     from mca_tpu.train import train
 
@@ -70,6 +71,7 @@ def test_cmu_train_variant(tmp_path, variant):
     )
 
 
+@pytest.mark.slow
 def test_cmu_predrop_trains(tmp_path):
     """dN-config path: offline whole-modality dropout via dataset.map."""
     from mca_tpu.train import train

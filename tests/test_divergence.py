@@ -53,6 +53,7 @@ def test_halt_on_nan_raises_and_saves_forensic_state(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_halt_on_nan_disabled_runs_to_completion(tmp_path):
     cfg = _cfg(tmp_path, lr=float("inf"), clip=0.0)
     cfg.halt_on_nan = False

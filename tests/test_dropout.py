@@ -56,6 +56,7 @@ def test_eval_mode_is_deterministic(dropout_setup):
     assert float(a) == float(b)
 
 
+@pytest.mark.slow
 def test_train_step_threads_dropout_rng(dropout_setup):
     """make_train_step must run a dropout-enabled config, and repeat
     steps must differ via the per-step folded key."""

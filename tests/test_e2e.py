@@ -8,6 +8,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from mca_tpu.config import (
     get_cfg_defaults_embedding_eval,
     training_config_from_dict,

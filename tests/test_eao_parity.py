@@ -140,6 +140,7 @@ def test_eao_forward_parity(reference_path, tmp_path, monkeypatch):
         )
 
 
+@pytest.mark.slow
 def test_eao_channel_grouping_exact():
     """group_channels=True (equal-length channels stacked on the batch
     axis) must be bit-equivalent in fp32 to the sequential per-channel

@@ -14,6 +14,7 @@ gradients, not the full-batch step.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mca_tpu.config import get_model_config, training_config_from_dict
 from mca_tpu.data.collators import MultimodalCollator
@@ -79,6 +80,7 @@ def _oracle_grads(model, params, batch, step):
     return float(np.mean([float(l) for l in losses])), gmean
 
 
+@pytest.mark.slow
 def test_accum_step_equals_mean_of_microbatch_grads():
     cfg, batch = _setup()
     mc = get_model_config(cfg)
@@ -159,6 +161,7 @@ def test_accum_nan_pair_metrics_average_over_present_microbatches():
     np.testing.assert_allclose(got, v1, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_accum_on_dp_mesh_matches_single_device():
     """grad_accum composes with data parallelism: the batch-axis
     reshape [B] -> [N, B/N] crosses the sharded axis (the partitioner
@@ -199,6 +202,7 @@ def test_accum_on_dp_mesh_matches_single_device():
         )
 
 
+@pytest.mark.slow
 def test_flat_scan_accum_matches_tree_accum():
     """The flat-vector fast path with grad_accum == the tree-state
     accumulated step (same mean-gradient math through the raveled

@@ -175,6 +175,7 @@ def test_cmu_family_forward_parity_via_importer(
     )
 
 
+@pytest.mark.slow
 def test_train_emits_reference_safetensors(tmp_path, monkeypatch):
     """The training final save also writes a reference-named
     model.safetensors (ref train_accel_gpu.py:187 save_model format)

@@ -3,12 +3,14 @@ train step, and the validation that `grad_accum` actually shrinks
 activation (temp) memory — the claim that motivates the feature."""
 
 import jax
+import pytest
 
 from mca_tpu.config import training_config_from_dict
 from mca_tpu.data.synthetic import tiny_config
 from mca_tpu.tools.memory_report import step_memory_analysis
 
 
+@pytest.mark.slow
 def test_memory_analysis_fields_and_grad_accum_shrinks_temp():
     cfg = training_config_from_dict(
         tiny_config(

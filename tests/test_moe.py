@@ -183,6 +183,7 @@ def _setup(batch_size=8, **overrides):
     return cfg, model, batch
 
 
+@pytest.mark.slow
 def test_moe_mca_trains_and_param_layout():
     cfg, model, batch = _setup(moe_experts=2, moe_capacity_factor=2.0)
     batch_j = jax.tree.map(jnp.asarray, batch)
@@ -288,6 +289,7 @@ def test_moe_pipeline_parallel_matches_sequential():
     np.testing.assert_allclose(loss_pipe, loss_seq, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_moe_stats_intermediates_and_tool(tmp_path):
     """The sow hooks only materialise under mutable=["intermediates"]
     (hot path unchanged), and moe_stats computes sane routing numbers:
@@ -329,6 +331,7 @@ def test_moe_stats_intermediates_and_tool(tmp_path):
     assert all(r["experts"] == 2 for r in rows)
 
 
+@pytest.mark.slow
 def test_expert_parallel_step_matches_unsharded():
     """DPxEP: experts sharded over the 'model' axis; train step equals
     the unsharded step (same batch, same init)."""

@@ -6,6 +6,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from mca_tpu.config import dump_configs, training_config_from_dict
 from mca_tpu.data.synthetic import make_tcga_like, tiny_config, to_hf_dataset
@@ -38,6 +39,7 @@ def _run(tmp_path, steps_per_call, tag):
     return [r for r in recs if "total_loss" in r]
 
 
+@pytest.mark.slow
 def test_scan_chunks_and_remainder(tmp_path):
     # 4 steps/epoch with chunks of 3 -> one scan(3) + one single step
     steps = _run(tmp_path, steps_per_call=3, tag="scan")
@@ -48,6 +50,7 @@ def test_scan_chunks_and_remainder(tmp_path):
     assert steps[-1]["total_loss"] < steps[0]["total_loss"]
 
 
+@pytest.mark.slow
 def test_scan_matches_single_step(tmp_path):
     """Same data, same seeds: scan and single-step losses coincide."""
     single = _run(tmp_path, steps_per_call=1, tag="single")

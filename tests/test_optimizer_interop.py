@@ -142,6 +142,7 @@ def test_flat_state_moment_injection():
     assert counts and all(int(v) == K_SAVE for _, v in counts)
 
 
+@pytest.mark.slow
 def test_midstream_continuation_matches_reference(
     reference_path, tmp_path
 ):

@@ -12,6 +12,7 @@ round-trip the bf16 dtypes.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -106,6 +107,7 @@ def test_bf16_moment_dtype_tree_and_flat_state():
     assert _float_dtypes(s32["opt_state"]) == {np.dtype(np.float32)}
 
 
+@pytest.mark.slow
 def test_bf16_moments_trajectory_tracks_fp32():
     """8 steps with bf16 moments: loss decreases and the final loss is
     within a few % of the fp32-moments trajectory (storage rounding is

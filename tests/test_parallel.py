@@ -9,6 +9,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mca_tpu.config import get_model_config, training_config_from_dict
 from mca_tpu.data.collators import MultimodalCollator
@@ -57,6 +58,7 @@ def test_sharded_loss_equals_single_device():
     np.testing.assert_allclose(multi, single, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_step_dp_tp_matches_unsharded():
     cfg, model, batch = _setup()
     tx = make_optimizer(cfg, 10)
@@ -211,6 +213,7 @@ def _production_apparatus(cfg, model, batches, pad_to_multiple=1, out_shardings=
     return steps, fresh_state, stacked
 
 
+@pytest.mark.slow
 def test_production_flat_scan_pallas_bf16_dp_matches_single():
     """Flat-state scan (K=2) with bf16 + pallas flash: DP-8 mesh ==
     single device, losses and updated parameter vector."""
@@ -250,6 +253,7 @@ def test_production_flat_scan_pallas_bf16_dp_matches_single():
     np.testing.assert_allclose(flat2, flat1, rtol=2e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_production_tree_step_pallas_bf16_dp_tp_matches_single():
     """Tree-state single step with bf16 + pallas flash under DP x TP
     (4x2) shardings == unsharded step (megatron head sharding composes
@@ -300,6 +304,7 @@ def test_production_tree_step_pallas_bf16_dp_tp_matches_single():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_flat_apparatus_padding_is_inert():
     """pad_to_multiple changes the vector length but not the math:
     padded and unpadded single-device scans produce identical metrics
@@ -359,6 +364,7 @@ def test_flat_apparatus_padding_is_inert():
     np.testing.assert_array_equal(results[8][1][n:], 0.0)
 
 
+@pytest.mark.slow
 def test_production_flat_scan_fsdp_matches_single():
     """FSDP on the production fast path: flat state sharded P('data')
     over 8 devices (params + AdamW moments), bf16 + pallas flash +
@@ -447,6 +453,7 @@ def test_production_flat_scan_fsdp_matches_single():
     np.testing.assert_allclose(flat2, flat1, rtol=2e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_tree_step_fsdp_tp_matches_unsharded():
     """Tree-state step with fsdp=True composed with TP on a 4x2 mesh
     (per-leaf mu/nu via fuse_optimizer=False so the moments shard like
@@ -521,6 +528,7 @@ def test_tree_step_fsdp_tp_matches_unsharded():
     assert any("data" in str(sp) for sp in mu_specs)
 
 
+@pytest.mark.slow
 def test_seq_shard_matches_unsharded():
     """Megatron sequence parallelism (activations constrained to shard
     T over the TP axis between blocks) is numerically transparent: the

@@ -7,6 +7,7 @@ parallelism, and inside the full MCA train step.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -220,6 +221,7 @@ def test_mca_pipelined_pallas_bf16():
     np.testing.assert_allclose(loss_pipe, loss_seq, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_mca_pipelined_with_fsdp_params():
     """PP x FSDP (the standard at-scale combo): parameters ZeRO-sharded
     over 'data' while the layer stack runs pipelined over 'pipe' — the

@@ -78,6 +78,7 @@ def test_sharded_state_bytes_shrink(cfg):
     assert fsdp8 < 0.5 * full
 
 
+@pytest.mark.slow
 def test_plan_ranking_and_fit(cfg):
     """End-to-end: a generous HBM budget makes plain DP-8 (no remat,
     no accumulation) the winner; a tiny budget forces memory-saving
@@ -97,6 +98,7 @@ def test_plan_ranking_and_fit(cfg):
     assert not any(p.fits for p in starved)
 
 
+@pytest.mark.slow
 def test_exact_plan_memory_compiles():
     """The --exact path: the real sharded train step compiles on the
     8-device mesh for a DP-8 fsdp plan and reports per-device bytes;
@@ -121,6 +123,7 @@ def test_exact_plan_memory_compiles():
     )
 
 
+@pytest.mark.slow
 def test_cli_json(tmp_path):
     import os
 

@@ -17,6 +17,7 @@ import sys
 
 import jax
 import numpy as np
+import pytest
 import yaml
 
 from mca_tpu.config import training_config_from_dict
@@ -54,6 +55,7 @@ def _losses(output_dir):
     }
 
 
+@pytest.mark.slow
 def test_sigterm_checkpoints_and_resume_matches_uninterrupted(tmp_path):
     samples = make_tcga_like(200, widths=WIDTHS, p_missing=0.2, seed=0)
     to_hf_dataset(samples).save_to_disk(str(tmp_path / "ds"))
@@ -123,6 +125,7 @@ def test_sigterm_checkpoints_and_resume_matches_uninterrupted(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_preempt_guard_restores_prior_handler(tmp_path):
     """train() must hand SIGTERM back on every exit path — a leaked
     handler would flip a dead flag on the next run in this process.

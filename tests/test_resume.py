@@ -9,6 +9,7 @@ import os
 
 import jax
 import numpy as np
+import pytest
 
 from mca_tpu.config import training_config_from_dict
 from mca_tpu.data.synthetic import make_tcga_like, tiny_config, to_hf_dataset
@@ -37,6 +38,7 @@ def _losses(output_dir):
     ]
 
 
+@pytest.mark.slow
 def test_mid_epoch_resume_continues_not_replays(tmp_path):
     cfg_a, widths = _base_cfg(tmp_path, "out_a")
     samples = make_tcga_like(
@@ -75,6 +77,7 @@ def test_mid_epoch_resume_continues_not_replays(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_resume_derives_start_epoch_from_restored_step(tmp_path):
     """A crash inside epoch 1 restarted with the DEFAULT start_epoch 0
     must not re-train epoch 0 on the restored state: the epoch is

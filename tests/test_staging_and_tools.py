@@ -8,6 +8,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mca_tpu.config import get_model_config, training_config_from_dict
 from mca_tpu.data.collators import MultimodalCollator
@@ -302,6 +303,7 @@ def test_reproduce_respects_explicit_dataset_and_bare_sections(
     assert summary["probe"] == {"f1": 0.5}
 
 
+@pytest.mark.slow
 def test_reproduce_pipeline_synthetic(tmp_path):
     """One-command reproduction: synthetic preprocess -> train ->
     infer -> probe from a single pipeline YAML."""
