@@ -65,7 +65,7 @@ def profile_components(batch: int, k: int) -> dict:
 
 
 def kernel_and_bounds(batch: int, k: int) -> dict:
-    from roofline import attention_counts, build_case, light_ms, measure_attention
+    from roofline import attention_counts, build_case, measure_attention
 
     from mca_tpu.ops.flash_attention import plan_bands
 
@@ -167,10 +167,26 @@ def main():
     for dirn in ("fwd", "bwd"):
         m8 = k8["measured"][f"{dirn}_ms"]
         mb_ = kb["measured"][f"{dirn}_ms"]
+        # the analytic work terms must scale exactly linearly in batch
+        # (per-batch-head tile traffic) — record the check so the
+        # jsonl carries the bound side of the attribution, not just
+        # the measured ratios
+        bound_x = {
+            term: round(
+                kb["counts"][dirn][term]
+                / max(k8["counts"][dirn][term], 1)
+                / ratio,
+                4,
+            )
+            for term in ("mxu_flops", "vpu_elems", "exp_elems",
+                         "hbm_bytes")
+            if term in k8["counts"][dirn]
+        }
         rec["kernel"][dirn] = {
             "ms_8": round(m8, 3),
             f"ms_{args.big}": round(mb_, 3),
             "x_of_work": round(mb_ / m8 / ratio, 3),
+            "bound_terms_x_of_work": bound_x,
         }
     print(json.dumps(rec["kernel"], indent=1), flush=True)
 

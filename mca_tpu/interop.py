@@ -302,10 +302,15 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
                 path = cand
                 break
         else:
+            # fallback glob must not pick the optimizer/scheduler/rng
+            # files an accelerate save_state dir always carries
+            non_model = ("optimizer", "scheduler", "random_state",
+                         "scaler", "sampler")
             found = sorted(
                 f
                 for f in os.listdir(path)
                 if f.endswith((".safetensors", ".bin", ".pt"))
+                and not f.startswith(non_model)
             )
             if not found:
                 raise FileNotFoundError(
@@ -543,19 +548,23 @@ def import_optimizer_state(
     return mu, nu, count
 
 
-def load_accelerate_dir(path: str) -> Dict[str, Any]:
-    """Load an ``accelerator.save_state`` directory in full.
+def load_accelerate_dir(
+    path: str, *, load_model: bool = True
+) -> Dict[str, Any]:
+    """Load an ``accelerator.save_state`` directory.
 
-    Returns ``{"model": state_dict, "optimizer": opt_state_dict or
-    None, "scheduler_step": int or None}``.  ``scheduler_step`` is the
-    HF scheduler's ``last_epoch`` — the number of completed optimizer
-    steps (ref train_accel_gpu.py:84-86 creates the scheduler;
-    save_state snapshots it as ``scheduler.bin``).
+    Returns ``{"model": state_dict or None, "optimizer":
+    opt_state_dict or None, "scheduler_step": int or None}``.
+    ``scheduler_step`` is the HF scheduler's ``last_epoch`` — the
+    number of completed optimizer steps (ref train_accel_gpu.py:84-86
+    creates the scheduler; save_state snapshots it as
+    ``scheduler.bin``).  ``load_model=False`` skips the (large)
+    weights file when the caller already holds it.
     """
     import torch
 
     out: Dict[str, Any] = {
-        "model": load_torch_state_dict(path),
+        "model": load_torch_state_dict(path) if load_model else None,
         "optimizer": None,
         "scheduler_step": None,
     }
@@ -615,6 +624,15 @@ def fill_adam_state(
                     [flat, jnp.zeros((pad,), flat.dtype)]
                 )
             return flat.astype(jnp.asarray(cur).dtype)
+        # per-leaf tree states (fsdp / fuse_optimizer: false) keep the
+        # flax {'params': ...} wrapper in their moment trees; the
+        # imported mu/nu trees are the inner dict — re-wrap to match
+        if (
+            isinstance(cur, dict)
+            and "params" in cur
+            and not (isinstance(tree, dict) and "params" in tree)
+        ):
+            tree = {"params": tree}
         return jax.tree.map(
             lambda t, c: jnp.asarray(t, jnp.asarray(c).dtype), tree, cur
         )

@@ -114,7 +114,7 @@ def _import_with_optimizer(args, cfg, ckpt, params, model_sd) -> None:
             "--with-optimizer needs an accelerate save_state "
             "DIRECTORY (optimizer.bin lives next to the weights)"
         )
-    saved = load_accelerate_dir(args.checkpoint)
+    saved = load_accelerate_dir(args.checkpoint, load_model=False)
     if saved["optimizer"] is None:
         raise SystemExit(
             f"no optimizer.bin under {args.checkpoint}"
@@ -197,6 +197,11 @@ def main(argv=None) -> int:
     if args.from_orbax:
         if not args.export:
             ap.error("--from-orbax requires --export")
+        if args.with_optimizer:
+            ap.error(
+                "--with-optimizer only applies when importing an "
+                "accelerate save_state directory, not --from-orbax"
+            )
         params = _load_orbax_params(ckpt, args.from_orbax)
     elif args.checkpoint:
         if not args.out_dir:

@@ -11,8 +11,6 @@ continue-both-sides trajectory that must coincide to the
 test_train_parity tolerance.
 """
 
-import math
-
 import numpy as np
 import pytest
 
@@ -24,7 +22,6 @@ from mca_tpu.data.collators import MultimodalCollator
 from mca_tpu.data.synthetic import make_tcga_like, tiny_config
 from mca_tpu.models import build_model
 from mca_tpu.train import (
-    init_state,
     make_flat_apparatus,
     make_optimizer,
     make_train_step,
@@ -138,6 +135,46 @@ def test_flat_state_moment_injection():
     assert np.all(got_mu[want.size:] == 0)  # padded tail inert
     # EVERY count field (scale_by_adam bias correction AND
     # scale_by_schedule) must land on the imported step
+    counts = otu.tree_get_all_with_path(filled, "count")
+    assert counts and all(int(v) == K_SAVE for _, v in counts)
+
+
+def test_tree_state_moment_injection():
+    """fill_adam_state on the PER-LEAF tree optimizer (fsdp /
+    fuse_optimizer: false): the state's moment trees carry the flax
+    {'params': ...} wrapper while the imported mu/nu are the inner
+    dict — the wrapper must be re-applied, not crash (code-review r4
+    finding)."""
+    import optax.tree_utils as otu
+
+    from mca_tpu.interop import fill_adam_state
+
+    cfg = _tiny_cfg()
+    cfg.fuse_optimizer = False
+    mc = get_model_config(cfg)
+    model = build_model(mc)
+    batch = MultimodalCollator(cfg.modality_config.to_plain())(
+        make_tcga_like(4, widths=WIDTHS, p_missing=0.3, seed=7)
+    )
+    params = jax.jit(model.init)(
+        jax.random.key(0), jax.tree.map(jnp.asarray, batch)
+    )
+    tx = make_optimizer(cfg, N_TOTAL)
+    opt0 = tx.init(params)
+    rng = np.random.default_rng(5)
+    mu = jax.tree.map(
+        lambda x: rng.standard_normal(np.shape(x)).astype(np.float32),
+        params["params"],
+    )
+    nu = jax.tree.map(lambda x: np.abs(x), mu)
+    filled = fill_adam_state(opt0, mu, nu, count=K_SAVE)
+    got = otu.tree_get(filled, "mu")
+    assert isinstance(got, dict) and "params" in got
+    np.testing.assert_allclose(
+        np.asarray(got["params"]["fusion_tokens"]),
+        mu["fusion_tokens"],
+        rtol=1e-6,
+    )
     counts = otu.tree_get_all_with_path(filled, "count")
     assert counts and all(int(v) == K_SAVE for _, v in counts)
 
@@ -359,7 +396,6 @@ def test_import_checkpoint_tool_with_optimizer(tmp_path):
     # ravel order agree
     from jax.flatten_util import ravel_pytree
 
-    p = params["params"]
     want_first = np.asarray(
         opt_sd["state"][names.index("fusion_tokens")]["exp_avg"]
     ).ravel()
