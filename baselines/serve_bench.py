@@ -24,8 +24,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import threading
 import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def main() -> None:
