@@ -179,12 +179,15 @@ def build_key_map(params: Dict[str, Any]) -> KeyMap:
             for sub in sorted(tree):
                 if sub.startswith("proj_"):
                     i = int(sub.split("_")[1])
+                    # the reference registers the mean pool as
+                    # ``self.attn_pool`` (ref model.py:358, 535), so
+                    # its true state_dict keys carry that prefix
                     out.append(
-                        ((key, sub, "kernel"), f"pool.proj.{i}.weight", "linear")
+                        ((key, sub, "kernel"), f"attn_pool.proj.{i}.weight", "linear")
                     )
                     if "bias" in tree[sub]:
                         out.append(
-                            ((key, sub, "bias"), f"pool.proj.{i}.bias", "direct")
+                            ((key, sub, "bias"), f"attn_pool.proj.{i}.bias", "direct")
                         )
         else:  # a modality encoder
             _map_encoder(out, key, tree)
@@ -403,7 +406,10 @@ def ref_param_names(
     model.py:523-546 is the same minus the fusion/return tokens).
     ``modalities`` must be the encoder_configs key order of the run
     that produced the checkpoint (YAML insertion order); defaults to
-    sorted, which is only correct when that matches.
+    sorted, which is only correct when that matches — two
+    identically-shaped encoders in a non-sorted-order checkpoint would
+    silently swap moments, so the default emits a warning whenever it
+    could matter.
     """
     p = params.get("params", params)
     special = {
@@ -423,6 +429,19 @@ def ref_param_names(
         enc_names = [m for m in modalities if m in enc_names]
     else:
         enc_names = sorted(enc_names)
+        if len(enc_names) > 1:
+            import warnings
+
+            warnings.warn(
+                "ref_param_names: no modality order given — assuming "
+                "sorted order "
+                f"{enc_names}. The reference orders parameters by the "
+                "checkpoint's encoder_configs YAML insertion order; if "
+                "that differs from sorted, optimizer moments of "
+                "identically-shaped encoders would be silently "
+                "swapped. Pass modalities= explicitly.",
+                stacklevel=2,
+            )
     names: List[str] = []
     if "fusion_tokens" in p:
         names.append("fusion_tokens")
@@ -460,9 +479,9 @@ def ref_param_names(
             (s for s in p["pool"] if s.startswith("proj_")),
             key=lambda s: int(s.split("_")[1]),
         ):
-            names.append(f"pool.proj.{sub.split('_')[1]}.weight")
+            names.append(f"attn_pool.proj.{sub.split('_')[1]}.weight")
             if "bias" in p["pool"][sub]:
-                names.append(f"pool.proj.{sub.split('_')[1]}.bias")
+                names.append(f"attn_pool.proj.{sub.split('_')[1]}.bias")
     if "loss" in p and "logit_scale" in p["loss"]:
         names.append("loss.loss_fn.logit_scale")
     return names

@@ -221,18 +221,38 @@ class EmbeddingService:
         batch = self.collate(full)
         return jax.tree.map(jnp.asarray, batch)
 
+    def _dispatch(self, rows: Sequence[Dict[str, Any]]):
+        """Collate + H2D + LAUNCH one chunk; returns the device
+        arrays WITHOUT materialising them (jax dispatch is async, so
+        this returns while the device computes)."""
+        return self._fn(self.params, self._pad(rows))
+
+    @staticmethod
+    def _materialise(dev, n: int):
+        e, m = dev
+        return np.asarray(e)[:, :n], np.asarray(m)[:, :n]
+
     def embed(self, rows: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
         """Synchronous: embeddings + presence masks for ``rows``.
 
-        Rows larger than ``max_batch`` are processed in chunks."""
+        Rows larger than ``max_batch`` are processed in chunks,
+        software-pipelined: chunk i+1's collate + H2D + launch overlap
+        chunk i's device compute (the get is what blocks)."""
         rows = list(rows)
         embs: List[np.ndarray] = []
         msks: List[np.ndarray] = []
+        inflight = None  # (device arrays, n_real_rows)
         for i in range(0, len(rows), self.max_batch):
             chunk = rows[i : i + self.max_batch]
-            e, m = self._fn(self.params, self._pad(chunk))
-            embs.append(np.asarray(e)[:, : len(chunk)])
-            msks.append(np.asarray(m)[:, : len(chunk)])
+            dev = self._dispatch(chunk)
+            if inflight is not None:
+                e, m = self._materialise(*inflight)
+                embs.append(e)
+                msks.append(m)
+            inflight = (dev, len(chunk))
+        e, m = self._materialise(*inflight)
+        embs.append(e)
+        msks.append(m)
         emb = np.concatenate(embs, axis=1)
         msk = np.concatenate(msks, axis=1)
         return {
@@ -282,16 +302,56 @@ class EmbeddingService:
         return fut
 
     def _batch_loop(self) -> None:
+        """Coalesce queued rows and keep the device PIPELINED: batch
+        N+1 is collated, H2D-staged and LAUNCHED while batch N still
+        computes (jax dispatch is async; only the device->host get
+        blocks).  Round 4 measured the per-launch dispatch dominating
+        the saturated serve loop — the old loop serialised
+        [collate -> launch -> BLOCKING get -> respond] per batch, so
+        the device idled during every host phase (PERF.md:625-650,
+        VERDICT r4 item 4)."""
         import time as _time
+
+        inflight = None  # (pending list, device arrays)
+
+        def resolve(pending, dev):
+            try:
+                e, m = self._materialise(dev, len(pending))
+                for i, (_, fut) in enumerate(pending):
+                    fut.set_result(
+                        {
+                            "embeddings": {
+                                k: e[j][i]
+                                for j, k in enumerate(self.emb_keys)
+                            },
+                            "present": {
+                                k: bool(m[j][i])
+                                for j, k in enumerate(self.mask_keys)
+                            },
+                        }
+                    )
+            except Exception as exc:  # pragma: no cover
+                for _, fut in pending:
+                    if not fut.done():
+                        fut.set_exception(exc)
 
         while not self._stop.is_set():
             try:
-                first = self._queue.get(timeout=0.1)
+                # with a batch in flight the device is busy anyway —
+                # poll instead of sleeping so its results are returned
+                # the moment no successor batch forms
+                first = self._queue.get(
+                    timeout=0.0 if inflight else 0.1
+                )
+                pending = [first]
             except queue.Empty:
+                if inflight is not None:
+                    resolve(*inflight)
+                    inflight = None
                 continue
-            pending = [first]
             # max_wait_ms <= 0 means NO coalescing wait: dispatch
-            # whatever is already queued immediately
+            # whatever is already queued immediately (with a batch in
+            # flight the wait is free — it overlaps device compute)
             t0 = _time.monotonic()
             while len(pending) < self.max_batch:
                 left = self.max_wait_s - (_time.monotonic() - t0)
@@ -307,24 +367,17 @@ class EmbeddingService:
                     break
             rows = [r for r, _ in pending]
             try:
-                out = self.embed(rows)
-                for i, (_, fut) in enumerate(pending):
-                    fut.set_result(
-                        {
-                            "embeddings": {
-                                k: v[i]
-                                for k, v in out["embeddings"].items()
-                            },
-                            "present": {
-                                k: bool(v[i])
-                                for k, v in out["present"].items()
-                            },
-                        }
-                    )
+                dev = self._dispatch(rows)
             except Exception as e:  # pragma: no cover
                 for _, fut in pending:
                     if not fut.done():
                         fut.set_exception(e)
+                dev = None
+            if inflight is not None:
+                resolve(*inflight)
+            inflight = (pending, dev) if dev is not None else None
+        if inflight is not None:
+            resolve(*inflight)
 
 
 # ---------------------------------------------------------------------------

@@ -1259,21 +1259,73 @@ def train(config: Config) -> str:
             "step": state["step"],
         }
 
+    def _coerce_opt_state(raw_opt, target_opt):
+        """Coerce a restored (target-less, dict-form) optimizer state
+        onto the runtime structure, zero-padding 1-D moment tails.
+
+        Checkpoints written with an unpadded flat state (e.g.
+        ``tools/import_checkpoint.py --with-optimizer``, which builds
+        with pad_to_multiple=1) must restore into an FSDP run whose
+        flat vector is padded to ``mesh.shape['data']``.  The pad tail
+        is numerically inert (same argument as the params pad in
+        :func:`make_flat_apparatus`), so zero-padding the restored
+        mu/nu tails is exact.  Leaf order: orbax restores tuples /
+        namedtuples as dicts keyed '0'..'n' / by field name; jax
+        flattens dicts in sorted-key order, which matches positional /
+        namedtuple field order for the small optax chain states used
+        here.  Any mismatch raises and the caller falls back to a
+        params-only restore."""
+        t_leaves, treedef = jax.tree.flatten(target_opt)
+        r_leaves = jax.tree.leaves(raw_opt)
+        if len(r_leaves) != len(t_leaves):
+            raise ValueError(
+                f"opt_state leaf count {len(r_leaves)} != "
+                f"{len(t_leaves)}"
+            )
+        out, padded = [], False
+        for t, r in zip(t_leaves, r_leaves):
+            t_shape = tuple(np.shape(t))
+            r = np.asarray(r)
+            if len(t_shape) == 1 and r.ndim == 1 and r.shape[0] < t_shape[0]:
+                r = np.concatenate(
+                    [r, np.zeros(t_shape[0] - r.shape[0], r.dtype)]
+                )
+                padded = True
+            if r.shape != t_shape:
+                raise ValueError(
+                    f"opt_state leaf shape {r.shape} not coercible "
+                    f"to {t_shape}"
+                )
+            if hasattr(t, "sharding"):  # keep the runtime layout
+                r = jax.device_put(r, t.sharding)
+            out.append(r)
+        if padded:
+            logger.info(
+                "optimizer state restored with zero-padded 1-D "
+                "moment tails (unpadded checkpoint into a padded "
+                "FSDP run)"
+            )
+        return jax.tree.unflatten(treedef, out)
+
     def restore_state(state, restart_dir):
         """Restart from a checkpoint saved in either state mode:
         params (always a tree) + step always restore; the optimiser
-        state restores when its structure matches, else restarts fresh
-        with a warning (e.g. flat <-> tree mode switch)."""
+        state restores when its structure matches — including a
+        shorter unpadded flat state restored into a padded FSDP run
+        (moment tails zero-padded) — else restarts fresh with a
+        warning (e.g. flat <-> tree mode switch)."""
         target = state_for_checkpoint(state)
         try:
             restored = ckpt.load_state(restart_dir, target=target)
+            # orbax returns the SAVED leaf shapes even under a target,
+            # so an unpadded flat checkpoint restores short 1-D moments
+            # into a padded FSDP run — coerce unconditionally (an exact
+            # match is an identity pass)
+            restored["opt_state"] = _coerce_opt_state(
+                restored["opt_state"], target["opt_state"]
+            )
         except Exception:
             raw = ckpt.load_state(restart_dir)
-            logger.warning(
-                "optimizer state in %s does not match the current "
-                "training mode; restoring parameters only",
-                restart_dir,
-            )
             restored = dict(target)
             restored["params"] = jax.tree.map(
                 lambda t, r: np.asarray(r),
@@ -1281,6 +1333,17 @@ def train(config: Config) -> str:
                 raw["params"],
             )
             restored["step"] = jnp.asarray(raw.get("step", 0))
+            try:
+                restored["opt_state"] = _coerce_opt_state(
+                    raw["opt_state"], target["opt_state"]
+                )
+            except Exception as e:
+                logger.warning(
+                    "optimizer state in %s does not match the current "
+                    "training mode (%s); restoring parameters only",
+                    restart_dir,
+                    e,
+                )
         if flat_mode:
             from jax.flatten_util import ravel_pytree
 
