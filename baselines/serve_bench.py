@@ -97,6 +97,38 @@ def main() -> None:
         args.rows, widths=widths, p_missing=0.25, seed=0
     )
 
+    # --- per-launch dispatch floor ------------------------------------
+    # The smallest possible end-to-end launch: a trivial jitted op,
+    # argument-chained (no relay result caching) with a per-launch
+    # device_get (the pipeline must drain, as a serving response
+    # does).  If the serve loop's ms/batch converges to THIS number,
+    # the deployment is dispatch-bound and no device-side gain (int8,
+    # fused kernels) can show through it — the round-4 serve question,
+    # pinned numerically (VERDICT r4 item 4).
+    import jax
+    import jax.numpy as jnp
+
+    trivial = jax.jit(lambda x: x * 1.0000001 + 1e-7)
+    xx = jnp.zeros((128,), jnp.float32)
+    xx = trivial(xx)
+    float(xx[0])  # compile + first-dispatch tax
+    n_fl = 32
+    t0 = time.monotonic()
+    for _ in range(n_fl):
+        xx = trivial(xx)
+        float(xx[0])
+    floor_ms = (time.monotonic() - t0) / n_fl * 1e3
+    print(
+        json.dumps(
+            {
+                "metric": "serve_dispatch_floor_ms",
+                "value": round(floor_ms, 2),
+                "unit": "ms/launch",
+                "note": "trivial chained launch + per-launch get",
+            }
+        )
+    )
+
     # --- raw batched rate (no queue) -----------------------------------
     t0 = time.monotonic()
     svc.embed(rows)
