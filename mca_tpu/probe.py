@@ -190,6 +190,161 @@ def ridge_probe(
     return predict(x_train), predict(x_test)
 
 
+def _per_sample_loss(loss_type: str):
+    """Per-sample (batch-dim-preserving) variant of make_loss_fn —
+    required by the scanned loop's masked remainder batch (the host
+    loop's remainder is a smaller batch; the scan pads it and weights
+    pad rows to zero, giving the same masked-mean loss value)."""
+
+    def _tail_mean(x):
+        return x.reshape(x.shape[0], -1).mean(axis=1)
+
+    def _sq(pred, y):
+        # the host path's pred.squeeze(): with batch >= 2 only the
+        # label dim can be size-1 (scalar-regression / binary heads)
+        if pred.shape[-1] == 1 and y.ndim == pred.ndim - 1:
+            return pred[..., 0]
+        return pred
+
+    if loss_type == "L1":
+        return lambda pred, y: _tail_mean(jnp.abs(_sq(pred, y) - y))
+    if loss_type == "MSE":
+        return lambda pred, y: _tail_mean(jnp.square(_sq(pred, y) - y))
+    if loss_type == "BCE":
+        return lambda pred, y: _tail_mean(
+            optax.sigmoid_binary_cross_entropy(_sq(pred, y), y)
+        )
+    if loss_type == "CE":
+        return lambda pred, y: (
+            optax.softmax_cross_entropy_with_integer_labels(
+                pred, y.astype(jnp.int32)
+            )
+        )
+    raise ValueError(f"unknown loss_type {loss_type!r}")
+
+
+def _scanned_probe_loop(
+    config, head, loss_fn, tx, schedule,
+    x_train, y_train, x_test, y_test,
+    params, opt_state, steps_per_epoch, log,
+):
+    """The probe epoch loop as chunked ``lax.scan`` launches.
+
+    Each chunk launch scans ``chunk`` epochs; an inner scan runs the
+    per-epoch shuffled batches (remainder batch padded with
+    zero-weighted rows).  Per-epoch training logits, eval logits and
+    the loss/grad-norm/param-norm telemetry come back stacked, so the
+    host computes the SAME metric suite and JSONL rows as the host
+    loop with zero device launches per epoch."""
+    n_train = len(x_train)
+    B = min(int(config.batch_size), n_train)
+    S = max(-(-n_train // B), 1)
+    pad = S * B - n_train
+    epochs = int(config.epochs)
+    chunk = max(1, int(config.get("scan_epochs_chunk", 256)))
+    per_sample = _per_sample_loss(config.loss_type)
+
+    xt = jnp.asarray(x_train)
+    yt = jnp.asarray(y_train)
+    xe = jnp.asarray(x_test)
+
+    def epoch_body(carry, key):
+        params, opt_state = carry
+        perm = jax.random.permutation(key, n_train)
+        if pad:
+            perm = jnp.concatenate(
+                [perm, jnp.full((pad,), -1, perm.dtype)]
+            )
+        idx = perm.reshape(S, B)
+
+        def step_body(c, ib):
+            params, opt_state = c
+            valid = (ib >= 0).astype(jnp.float32)
+            safe = jnp.maximum(ib, 0)
+            xi, yi = xt[safe], yt[safe]
+
+            def lf(p):
+                logits = head.apply(p, xi)
+                ps = per_sample(logits, yi).astype(jnp.float32)
+                return (ps * valid).sum() / jnp.maximum(
+                    valid.sum(), 1.0
+                ), logits
+
+            (loss, logits), grads = jax.value_and_grad(
+                lf, has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (
+                loss, logits, global_norm(grads)
+            )
+
+        (params, opt_state), (losses, logits, gns) = jax.lax.scan(
+            step_body, (params, opt_state), idx
+        )
+        ev = head.apply(params, xe)
+        out = (
+            losses, logits, gns, ev, idx, global_norm(params)
+        )
+        return (params, opt_state), out
+
+    @jax.jit
+    def run_chunk(params, opt_state, keys):
+        return jax.lax.scan(epoch_body, (params, opt_state), keys)
+
+    keys = jax.random.split(jax.random.key(config.seed + 1), epochs)
+    # position-based validity is identical every epoch (pads at the
+    # permutation tail)
+    valid_pos = (np.arange(S * B) < n_train)
+    loss_fn_host = loss_fn
+    final_metrics: Dict[str, Any] = {}
+    done = 0
+    while done < epochs:
+        k = min(chunk, epochs - done)
+        (params, opt_state), outs = run_chunk(
+            params, opt_state, keys[done : done + k]
+        )
+        losses, logits, gns, evs, idxs, pnorms = jax.device_get(outs)
+        for e in range(k):
+            epoch = done + e
+            lg = logits[e].reshape(S * B, -1)[valid_pos]
+            yy = np.asarray(y_train)[
+                idxs[e].reshape(S * B)[valid_pos]
+            ]
+            train_met = compute_suite(config.loss_type, lg, yy)
+            eval_loss = float(
+                loss_fn_host(jnp.asarray(evs[e]), jnp.asarray(y_test))
+            )
+            eval_met = compute_suite(
+                config.loss_type, evs[e], np.asarray(y_test)
+            )
+            record = {
+                "train_loss": float(losses[e].mean()),
+                "eval_loss": eval_loss,
+                "lr": float(schedule(epoch * steps_per_epoch)),
+                "param_norm": float(pnorms[e]),
+                "grad_norm": float(gns[e][-1]),
+            }
+            record.update(
+                {
+                    f"train_{k2}": v
+                    for k2, v in train_met.items()
+                    if k2 != "cm"
+                }
+            )
+            record.update(
+                {
+                    f"eval_{k2}": v
+                    for k2, v in eval_met.items()
+                    if k2 != "cm"
+                }
+            )
+            log.log(record, step=epoch)
+            final_metrics = record
+        done += k
+    return final_metrics
+
+
 def probe(config: Config) -> Dict[str, Any]:
     """Train the probe head; returns the final epoch's metrics."""
     d = config.embedding_dir
@@ -295,6 +450,25 @@ def probe(config: Config) -> Dict[str, Any]:
         jax.random.key(config.seed), jnp.asarray(x_train[:2])
     )
     opt_state = tx.init(params)
+
+    if bool(config.get("scan_epochs", False)):
+        # relay-scale fast path: ALL epochs inside a few lax.scan
+        # launches instead of 2+ launches (+ device gets) per epoch.
+        # On the remote-attached TPU each launch costs ~90 ms of
+        # dispatch (PERF.md), so the reference's canonical
+        # 10001-epoch probe (ref TCGA_60i_eval.yaml) pays ~30 min of
+        # pure dispatch on the host loop; the scanned loop runs it in
+        # a handful of launches.  Shuffling uses jax.random instead
+        # of the host numpy rng — statistically identical, not
+        # bit-identical to the host loop (full-batch probes, where
+        # order cannot matter, ARE pinned equal in tests).
+        final_metrics = _scanned_probe_loop(
+            config, head, loss_fn, tx, schedule,
+            x_train, y_train, x_test, y_test,
+            params, opt_state, steps_per_epoch, log,
+        )
+        log.close()
+        return final_metrics
 
     @jax.jit
     def train_step(params, opt_state, x, y):

@@ -117,10 +117,21 @@ def make_train_yaml(
     seed: int = 43,
     batch_size: int = 8,
     split: float = 0.1,
+    n_samples: int = 600,
 ) -> Dict[str, Any]:
     """A reference-DSL train config (ref configs/TCGA_config1.yaml key
-    surface, including dead keys the loader must tolerate)."""
+    surface, including dead keys the loader must tolerate).
+
+    ``num_warmup_steps`` is sized to ~6% of the miniature run's total
+    steps — the canonical default (3000) would keep the whole short
+    run inside warmup at ~2e-5 effective lr and the probe would read
+    untrained embeddings (observed: AUROC 0.46 on the first sweep
+    attempt)."""
     dropout = float(cell["predrop"])
+    total_steps = epochs * max(
+        int(n_samples * (1 - split)) // batch_size, 1
+    )
+    warmup = max(20, int(0.06 * total_steps))
     cfg: Dict[str, Any] = {
         "encoder_configs": {
             m: {
@@ -152,6 +163,7 @@ def make_train_yaml(
         "ds_seed": seed,
         "seed": seed,
         "lr": 1e-4,
+        "num_warmup_steps": warmup,
         "layers": 5,
         "lr_scheduler_type": "cosine",
         "epochs": int(epochs),
@@ -198,16 +210,23 @@ def make_infer_yaml(
 def make_eval_yaml(
     *, embedding_dir: str, output_dir: str, epochs: int
 ) -> Dict[str, Any]:
-    """An ``_eval`` probe config (ref configs/TCGA_60i_eval.yaml)."""
+    """An ``_eval`` probe config (ref configs/TCGA_60i_eval.yaml).
+
+    ``scan_epochs`` runs the epoch loop as chunked ``lax.scan``
+    launches (probe.py) — the reference's canonical 10001-epoch probe
+    costs ~90 ms of relay dispatch per epoch on the host loop;
+    warmup scales with the ref's 1000/10001 proportion."""
     return {
         "embedding_dir": embedding_dir,
         "rank_metrics": True,
         "model_type": "linear",
         "epochs": int(epochs),
+        "num_warmup_steps": max(10, epochs // 10),
         "loss_type": "BCE",
         "metric": "F1",
         "task": -1,
         "lr": 1e-4,
+        "scan_epochs": True,
         "output_dir": output_dir,
     }
 
@@ -301,8 +320,8 @@ def run_probe(yaml_path: str) -> Dict[str, Any]:
 
 def _read_retrieval(probe_dir: str) -> Dict[str, float]:
     """Fusion-retrieval numbers from the probe's JSONL log (written by
-    probe.log_rank_metrics: per-modality ``{split}_{median_rank,r1,..}``
-    rows).  Averaged over modalities for the summary row."""
+    probe.log_rank_metrics as ``{modality}_{split}_{metric}`` keys).
+    Averaged over modalities for the summary row."""
     path = os.path.join(probe_dir, "metrics.jsonl")
     acc: Dict[str, List[float]] = {}
     try:
@@ -310,18 +329,20 @@ def _read_retrieval(probe_dir: str) -> Dict[str, float]:
             for line in f:
                 row = json.loads(line)
                 for k, v in row.items():
-                    if any(
-                        k.endswith(s)
-                        for s in ("median_rank", "_r1", "_r5", "_r10")
-                    ) and k.startswith(("train_", "test_")):
-                        acc.setdefault(k, []).append(float(v))
+                    for split in ("train", "test"):
+                        for metric in (
+                            "median_rank", "r1", "r5", "r10",
+                        ):
+                            if k.endswith(f"_{split}_{metric}"):
+                                acc.setdefault(
+                                    f"{split}_{metric}", []
+                                ).append(float(v))
     except FileNotFoundError:
         return {}
-    out: Dict[str, float] = {}
-    for k, vals in acc.items():
-        split, metric = k.split("_", 1)
-        out[f"{split}_{metric}_mean"] = float(sum(vals) / len(vals))
-    return out
+    return {
+        f"{k}_mean": float(sum(vals) / len(vals))
+        for k, vals in acc.items()
+    }
 
 
 def _read_final_train_loss(train_dir: str) -> Optional[float]:
@@ -400,6 +421,7 @@ def run_sweep(args) -> List[Dict[str, Any]]:
                     # drop_last batch (infer iterates both splits)
                     batch_size=4 if args.tiny else 8,
                     split=0.25 if args.tiny else 0.1,
+                    n_samples=args.n_samples,
                 ),
                 tr_yaml,
             )
@@ -564,9 +586,9 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default="sweep_out")
     ap.add_argument("--dataset", default=None, help="reuse an HF dataset dir")
-    ap.add_argument("--epochs", type=int, default=8)
-    ap.add_argument("--probe-epochs", type=int, default=300)
-    ap.add_argument("--n-samples", type=int, default=600)
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--probe-epochs", type=int, default=2000)
+    ap.add_argument("--n-samples", type=int, default=1024)
     ap.add_argument(
         "--cells", default=None, help="comma-separated cell ids to run"
     )

@@ -238,3 +238,43 @@ def test_probe_ridge(inferred):
     m = probe(pcfg)
     assert 0.0 <= m["eval_accuracy"] <= 1.0
     assert np.isfinite(m["train_loss"])
+
+
+def test_probe_scan_epochs_matches_host_loop(inferred):
+    """scan_epochs=True (the relay-scale chunked-lax.scan probe loop)
+    must reproduce the host loop: on a FULL-BATCH probe (batch_size >=
+    n_train) the shuffle order cannot matter, so the two paths differ
+    only by fp reduction order — metrics must agree tightly.  A
+    mini-batch CE run additionally pins the masked remainder-batch
+    handling (not order-independent, so only sanity-bounded)."""
+    icfg, root = inferred
+    from mca_tpu.probe import probe
+
+    def cfg(out, **kw):
+        p = get_cfg_defaults_embedding_eval()
+        p.embedding_dir = icfg.output_dir
+        p.output_dir = str(root / out)
+        p.task = -1
+        p.loss_type = "BCE"
+        p.epochs = 30
+        p.lr = 1e-3
+        p.batch_size = 4096  # full batch: order-independent
+        p.rank_metrics = False
+        for k, v in kw.items():
+            setattr(p, k, v)
+        return p
+
+    host = probe(cfg("probe_host"))
+    scan = probe(cfg("probe_scan", scan_epochs=True,
+                     scan_epochs_chunk=8))
+    for key in ("train_loss", "eval_loss", "eval_f1", "eval_auroc",
+                "param_norm"):
+        np.testing.assert_allclose(
+            scan[key], host[key], rtol=2e-4, atol=1e-6,
+        ), key
+
+    # mini-batch + remainder (n_train % 16 != 0 in this fixture) + CE
+    mb = probe(cfg("probe_scan_mb", scan_epochs=True, loss_type="CE",
+                   batch_size=16, epochs=20))
+    assert np.isfinite(mb["train_loss"])
+    assert 0.0 <= mb["eval_accuracy"] <= 1.0
