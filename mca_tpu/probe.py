@@ -116,15 +116,41 @@ def select_task(labels: np.ndarray, task: int) -> np.ndarray:
     return labels[:, task]
 
 
+def resolve_embedding_key(config, embeddings):
+    """The embedding the probe reads: ``'fusion'`` (default, ref
+    lp_accel_gpu.py:23) or ``embedding_key: "combo:i,j,..."`` — a
+    modality-combo readout for families without a fusion stream.
+    The reference itself aliases ``outputs['fusion'] =
+    outputs[fcl_root]`` when a fusion stream exists (ref
+    model.py:189-190); with ``no_fusion`` (EAO) no 'fusion' key is
+    ever emitted and the reference's own EAO eval configs crash at
+    lp_accel_gpu.py:72 — selecting the fcl_root combo explicitly is
+    the working equivalent."""
+    spec = str(config.get("embedding_key", "fusion"))
+    if spec.startswith("combo:"):
+        key = frozenset(
+            int(i) for i in spec.split(":", 1)[1].split(",")
+        )
+    else:
+        key = spec
+    if key not in embeddings:
+        raise KeyError(
+            f"embedding_key {spec!r} not in the embedding file "
+            f"(keys: {sorted(embeddings, key=str)})"
+        )
+    return key
+
+
 def log_rank_metrics(
-    e_train, m_train, e_test, m_test, log: JSONLLogger
+    e_train, m_train, e_test, m_test, log: JSONLLogger,
+    target_key="fusion",
 ) -> None:
     """Retrieval + embedding-space metrics per modality
     (ref lp_accel_gpu.py:70-97, fixed)."""
     modality_keys = [
         k
         for k in e_train.keys()
-        if isinstance(k, str) and k != "fusion"
+        if isinstance(k, str) and k != "fusion" and k != target_key
     ]
     for k in modality_keys:
         metrics = {}
@@ -133,7 +159,7 @@ def log_rank_metrics(
             ("test", e_test, m_test),
         ):
             mask = np.asarray(m[k]).astype(bool)
-            rm = rank_metrics(e[k], e["fusion"], mask=mask)
+            rm = rank_metrics(e[k], e[target_key], mask=mask)
             metrics.update(
                 {f"{split}_{name}": v for name, v in rm.items()}
             )
@@ -142,16 +168,16 @@ def log_rank_metrics(
             )
             metrics[f"{split}_alignment"] = alignment(
                 np.asarray(e[k])[mask],
-                np.asarray(e["fusion"])[mask],
+                np.asarray(e[target_key])[mask],
             )
         log.log({f"{k}_{n}": v for n, v in metrics.items()})
     log.log(
         {
             "train_uniformity_fusion": uniformity(
-                np.asarray(e_train["fusion"])
+                np.asarray(e_train[target_key])
             ),
             "test_uniformity_fusion": uniformity(
-                np.asarray(e_test["fusion"])
+                np.asarray(e_test[target_key])
             ),
         }
     )
@@ -297,6 +323,11 @@ def _scanned_probe_loop(
     # permutation tail)
     valid_pos = (np.arange(S * B) < n_train)
     loss_fn_host = loss_fn
+    # the host-side metric suite (AUROC sort etc.) costs ~0.2 s/epoch
+    # — at the reference's canonical 10001 epochs it would dominate
+    # the scanned loop; metrics_every thins the full rows (losses are
+    # free, the LAST epoch always gets the full suite)
+    metrics_every = max(1, int(config.get("metrics_every", 1)))
     final_metrics: Dict[str, Any] = {}
     done = 0
     while done < epochs:
@@ -307,6 +338,11 @@ def _scanned_probe_loop(
         losses, logits, gns, evs, idxs, pnorms = jax.device_get(outs)
         for e in range(k):
             epoch = done + e
+            if (
+                (epoch + 1) % metrics_every != 0
+                and epoch != epochs - 1
+            ):
+                continue
             lg = logits[e].reshape(S * B, -1)[valid_pos]
             yy = np.asarray(y_train)[
                 idxs[e].reshape(S * B)[valid_pos]
@@ -359,12 +395,16 @@ def probe(config: Config) -> Dict[str, Any]:
         load_label_file(f"{d}/eval_labels"), config.task
     )
     log = JSONLLogger(config.output_dir)
+    emb_key = resolve_embedding_key(config, e_train)
 
     if config.rank_metrics:
-        log_rank_metrics(e_train, m_train, e_test, m_test, log)
+        log_rank_metrics(
+            e_train, m_train, e_test, m_test, log,
+            target_key=emb_key,
+        )
 
-    x_train = np.asarray(e_train["fusion"], np.float32)
-    x_test = np.asarray(e_test["fusion"], np.float32)
+    x_train = np.asarray(e_train[emb_key], np.float32)
+    x_test = np.asarray(e_test[emb_key], np.float32)
     y_train = np.asarray(s_train, np.float32)
     y_test = np.asarray(s_test, np.float32)
     num_labels = 1 if y_train.ndim == 1 else y_train.shape[1]

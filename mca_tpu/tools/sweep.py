@@ -118,6 +118,8 @@ def make_train_yaml(
     batch_size: int = 8,
     split: float = 0.1,
     n_samples: int = 600,
+    lr: float = 1e-4,
+    model_scale: Optional[Dict[str, int]] = None,
 ) -> Dict[str, Any]:
     """A reference-DSL train config (ref configs/TCGA_config1.yaml key
     surface, including dead keys the loader must tolerate).
@@ -162,7 +164,7 @@ def make_train_yaml(
         "random_seed": seed,  # dead key in the reference; tolerated
         "ds_seed": seed,
         "seed": seed,
-        "lr": 1e-4,
+        "lr": float(lr),
         "num_warmup_steps": warmup,
         "layers": 5,
         "lr_scheduler_type": "cosine",
@@ -182,6 +184,8 @@ def make_train_yaml(
         "checkpoint_keep": 2,
         "n_step_checkpoint": 50,
     }
+    if model_scale:
+        cfg.update(model_scale)
     cfg.update(VARIANT_FLAGS[cell["variant"]])
     return cfg
 
@@ -208,7 +212,11 @@ def make_infer_yaml(
 
 
 def make_eval_yaml(
-    *, embedding_dir: str, output_dir: str, epochs: int
+    *,
+    embedding_dir: str,
+    output_dir: str,
+    epochs: int,
+    embedding_key: str = "fusion",
 ) -> Dict[str, Any]:
     """An ``_eval`` probe config (ref configs/TCGA_60i_eval.yaml).
 
@@ -227,6 +235,8 @@ def make_eval_yaml(
         "task": -1,
         "lr": 1e-4,
         "scan_epochs": True,
+        "metrics_every": 20,
+        "embedding_key": embedding_key,
         "output_dir": output_dir,
     }
 
@@ -368,16 +378,39 @@ def run_sweep(args) -> List[Dict[str, Any]]:
     cfg_dir = os.path.join(out, "configs")
     runs = os.path.join(out, "runs")
 
-    widths = (
-        {"gene": 24, "protein": 12, "methylation": 20, "mirna": 16}
-        if args.tiny
-        else {
+    # --scale parity (default): the cross-implementation parity run's
+    # PROVEN recipe (baselines/parity_run.py, PARITY_RUN.md: probe
+    # AUROC 0.87 after 384 steps) — dim 128, 3 layers, batch 16.  The
+    # canonical TCGA_config1 scale needs the reference's ~77k-step
+    # runs before the contrastive loss leaves chance (measured: 1.2k
+    # steps at dim 512 plateau at ln B and the probe reads collapsed
+    # embeddings), far beyond a miniature grid's budget; --scale
+    # canonical remains available for long runs.
+    if args.tiny:
+        widths = {"gene": 24, "protein": 12, "methylation": 20,
+                  "mirna": 16}
+        model_scale = {
+            "hidden_size": 32, "layers": 2, "heads": 2,
+            "dim_head": 16, "num_fusion_tokens": 22,
+        }
+        batch_size, split = 4, 0.25
+    elif args.scale == "parity":
+        widths = {"gene": 120, "protein": 60, "methylation": 100,
+                  "mirna": 80}
+        model_scale = {
+            "hidden_size": 128, "layers": 3, "heads": 4,
+            "dim_head": 32, "num_fusion_tokens": 22,
+        }
+        batch_size, split = 16, 0.25
+    else:  # canonical
+        widths = {
             "gene": 800,
             "protein": 198,
             "methylation": 800,
             "mirna": 662,
         }
-    )
+        model_scale = None
+        batch_size, split = 8, 0.1
     dataset = args.dataset or ensure_dataset(
         os.path.join(out, "dataset"),
         n_samples=args.n_samples,
@@ -417,11 +450,13 @@ def run_sweep(args) -> List[Dict[str, Any]]:
                     output_dir=train_out,
                     epochs=args.epochs,
                     widths=widths,
-                    # tiny smoke: the eval split must still fill one
-                    # drop_last batch (infer iterates both splits)
-                    batch_size=4 if args.tiny else 8,
-                    split=0.25 if args.tiny else 0.1,
+                    # the eval split must still fill one drop_last
+                    # batch (infer iterates both splits)
+                    batch_size=batch_size,
+                    split=split,
                     n_samples=args.n_samples,
+                    lr=args.lr,
+                    model_scale=model_scale,
                 ),
                 tr_yaml,
             )
@@ -453,11 +488,22 @@ def run_sweep(args) -> List[Dict[str, Any]]:
         # _eval probe config
         probe_out = os.path.join(runs, cid + "_probe")
         ev_yaml = os.path.join(cfg_dir, f"{name}{suffix}_eval.yaml")
+        flags = VARIANT_FLAGS[cell["variant"]]
         _dump_yaml(
             make_eval_yaml(
                 embedding_dir=infer_out,
                 output_dir=probe_out,
                 epochs=args.probe_epochs,
+                # no_fusion families (EAO) emit no 'fusion' key — read
+                # the fcl_root combo, the reference's fusion alias
+                # (see probe.resolve_embedding_key)
+                embedding_key=(
+                    "combo:" + ",".join(
+                        str(i) for i in flags["fcl_root"]
+                    )
+                    if flags.get("no_fusion")
+                    else "fusion"
+                ),
             ),
             ev_yaml,
         )
@@ -574,6 +620,22 @@ def render_table(rows: List[Dict[str, Any]], path: str) -> str:
             f"- inference dropout 0.60 on the mca_d15 checkpoint: "
             f"F1 {d15:.3f} -> {di60:.3f}"
         )
+    notes += [
+        "",
+        "Reading: MCA > MMA/zorro at every dropout level matches the "
+        "paper's qualitative claim.  EAO — the paper's compute-heavy "
+        "baseline (one transformer pass per channel/combo vs MCA's "
+        "single masked pass) — leads on this 384-step miniature: "
+        "with this little pretraining its per-combo dense passes "
+        "extract more than the shared fusion channels, so the "
+        "paper's MCA-matches-EAO-at-a-fraction-of-the-compute claim "
+        "does NOT reproduce at miniature scale (the paper trains "
+        "~200x longer on real data; the point of this grid is the "
+        "chained pipeline, not the science).  The EAO readout is its "
+        "fcl_root combo (no_fusion families emit no 'fusion' key — "
+        "probe `embedding_key`; the reference's own EAO eval configs "
+        "crash there, lp_accel_gpu.py:72).",
+    ]
     lines += notes + [""]
     text = "\n".join(lines)
     with open(path, "w") as f:
@@ -586,9 +648,14 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default="sweep_out")
     ap.add_argument("--dataset", default=None, help="reuse an HF dataset dir")
-    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--probe-epochs", type=int, default=2000)
-    ap.add_argument("--n-samples", type=int, default=1024)
+    ap.add_argument("--n-samples", type=int, default=2048)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument(
+        "--scale", choices=("parity", "canonical"), default="parity",
+        help="model/data scale of the grid (see run_sweep comment)",
+    )
     ap.add_argument(
         "--cells", default=None, help="comma-separated cell ids to run"
     )
