@@ -94,8 +94,13 @@ def main():
     batches = batches[:n_steps]
 
     model = build_model(mc)
-    params0 = jax.jit(model.init)(
-        jax.random.key(0), jax.tree.map(jnp.asarray, batches[0][0])
+    # HOST copies: our_train's jitted step donates its state, so a
+    # device tree would be deleted by the first arm and crash the next
+    params0 = jax.tree.map(
+        np.asarray,
+        jax.jit(model.init)(
+            jax.random.key(0), jax.tree.map(jnp.asarray, batches[0][0])
+        ),
     )
 
     def run(params_init):
@@ -117,6 +122,17 @@ def main():
     la = run(params0)
     lb = run(perturbed)
     rel = np.abs(la - lb) / np.maximum(np.abs(la), 1e-9)
+
+    # Second arm: the SAME init under 'highest' vs 'default' fp32
+    # matmul precision — a realistic OPERATOR-level rounding
+    # difference (what actually differs between frameworks: matmul
+    # tiling/accumulation order, fused kernels), as opposed to the
+    # one-shot init ulp above.  If this arm lands near the observed
+    # cross-impl drift, the explanation is per-step operator rounding.
+    jax.config.update("jax_default_matmul_precision", "default")
+    lc = run(params0)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    rel_mm = np.abs(la - lc) / np.maximum(np.abs(la), 1e-9)
     # the parity run reported drift over trajectory WINDOWS; report
     # matching aggregates plus the end-point value
     rec = {
@@ -126,11 +142,19 @@ def main():
         "rel_drift_last": float(rel[-1]),
         "rel_drift_last32_mean": float(rel[-32:].mean()),
         "rel_drift_max": float(rel.max()),
+        "matmul_precision_drift_last32_mean": float(
+            rel_mm[-32:].mean()
+        ),
+        "matmul_precision_drift_max": float(rel_mm.max()),
         "cross_impl_reference_pct_at_384": 0.72,
         "conclusion": (
-            "fp32-rounding-explains-drift"
-            if rel[-32:].mean() * 100 > 0.72 / 10
-            else "drift-NOT-explained-by-rounding"
+            "operator-level-rounding-explains-drift"
+            if rel_mm[-32:].mean() * 100 > 0.72 / 10
+            else (
+                "fp32-rounding-explains-drift"
+                if rel[-32:].mean() * 100 > 0.72 / 10
+                else "drift-NOT-explained-by-rounding"
+            )
         ),
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
     }

@@ -64,9 +64,11 @@ def main():
         "positive-control arms",
     )
     ap.add_argument(
-        "--ctl-dots", type=int, default=16,
-        help="chained [256,256] dots per control grid step (size so "
-        "compute ~ DMA: ~5us/step each)",
+        "--ctl-dots", type=int, default=40,
+        help="chained [256,256] dots per control grid step — sized "
+        "so compute ~ DMA (measured: 16 dots = 5.0us vs 12.7us "
+        "DMA/step; 40 dots balances them, giving the largest "
+        "serial-vs-overlap separation)",
     )
     ap.add_argument("--interpret", action="store_true")
     args = ap.parse_args()
@@ -304,7 +306,9 @@ def main():
             (serial - out["both"]) / max(serial - overlap, 1e-12), 3
         ),
         "verdict": (
-            "OVERLAPS" if out["both"] < 0.75 * serial else "SERIAL"
+            "OVERLAPS"
+            if (serial - out["both"]) > 0.5 * (serial - overlap)
+            else "SERIAL"
         ),
         "control_us_per_step": {
             k: round(v * 1e6, 4) for k, v in ctl.items()
@@ -316,9 +320,14 @@ def main():
             / max(ctl_serial - ctl_overlap, 1e-12),
             3,
         ),
+        # fraction-based: how much of the IDEAL overlap headroom
+        # (serial - max) was realised.  A fixed 0.75x-of-serial cut
+        # mislabels unbalanced arms — e.g. dma 12.7 / mxu 5.0 us:
+        # even PERFECT overlap only reaches 0.72x serial
         "control_verdict": (
             "OVERLAPS"
-            if ctl["ctl_both"] < 0.75 * ctl_serial
+            if (ctl_serial - ctl["ctl_both"])
+            > 0.5 * (ctl_serial - ctl_overlap)
             else "SERIAL"
         ),
         "device": str(jax.devices()[0]),
