@@ -103,13 +103,14 @@ def main():
         ),
     )
 
-    def run(params_init):
+    def run_batches(params_init, bs):
         t0 = time.time()
-        _, losses = P.our_train(
-            cfg, model, params_init, batches, n_steps
-        )
+        _, losses = P.our_train(cfg, model, params_init, bs, n_steps)
         print(f"arm done in {time.time() - t0:.0f}s", flush=True)
         return np.asarray(losses, np.float64)
+
+    def run(params_init):
+        return run_batches(params_init, batches)
 
     ulp = np.float32(1.0) + np.float32(2.0) ** -23  # exactly 1 ulp
     perturbed = jax.tree.map(
@@ -123,16 +124,46 @@ def main():
     lb = run(perturbed)
     rel = np.abs(la - lb) / np.maximum(np.abs(la), 1e-9)
 
-    # Second arm: the SAME init under 'highest' vs 'default' fp32
-    # matmul precision — a realistic OPERATOR-level rounding
-    # difference (what actually differs between frameworks: matmul
-    # tiling/accumulation order, fused kernels), as opposed to the
-    # one-shot init ulp above.  If this arm lands near the observed
-    # cross-impl drift, the explanation is per-step operator rounding.
+    # Second arm: 'highest' vs 'default' fp32 matmul precision — on
+    # CPU these lower IDENTICALLY (measured: exactly 0.0 drift), so
+    # the arm is a negative control for the harness, not evidence.
     jax.config.update("jax_default_matmul_precision", "default")
     lc = run(params0)
     jax.config.update("jax_default_matmul_precision", "highest")
     rel_mm = np.abs(la - lc) / np.maximum(np.abs(la), 1e-9)
+
+    # Third arm — the operator-level model: cross-framework per-op
+    # numeric differences (erf/exp polynomials, softmax/LayerNorm
+    # reduction arrangements, matmul accumulation order) are
+    # ~1e-6..1e-4 RELATIVE, injected EVERY step, not once at init.
+    # Proxy: each step's batch 'values' carry fresh +-delta relative
+    # noise (delta = 1e-5); the resulting drift at step 384 measures
+    # the trajectory's amplification of sustained per-step
+    # perturbation at that scale.
+    delta = 1e-5
+    nrng = np.random.default_rng(123)
+
+    def perturb_values(v):
+        v = np.asarray(v, np.float32)
+        noise = (
+            1.0 + delta * nrng.choice([-1.0, 1.0], size=v.shape)
+        ).astype(np.float32)
+        # never touch the -10000 pad sentinel: the encoders key
+        # padding off exact equality
+        return np.where(v == -10000.0, v, v * noise)
+
+    noisy = []
+    for batch, y in batches:
+        nb = {
+            m: {
+                k: perturb_values(v) if k == "values" else v
+                for k, v in fields.items()
+            }
+            for m, fields in batch.items()
+        }
+        noisy.append((nb, y))
+    ld = run_batches(params0, noisy)
+    rel_ps = np.abs(la - ld) / np.maximum(np.abs(la), 1e-9)
     # the parity run reported drift over trajectory WINDOWS; report
     # matching aggregates plus the end-point value
     rec = {
@@ -146,14 +177,16 @@ def main():
             rel_mm[-32:].mean()
         ),
         "matmul_precision_drift_max": float(rel_mm.max()),
+        "per_step_1e-5_drift_last32_mean": float(rel_ps[-32:].mean()),
+        "per_step_1e-5_drift_max": float(rel_ps.max()),
         "cross_impl_reference_pct_at_384": 0.72,
         "conclusion": (
-            "operator-level-rounding-explains-drift"
-            if rel_mm[-32:].mean() * 100 > 0.72 / 10
+            "sustained-per-step-op-noise-explains-drift"
+            if rel_ps[-32:].mean() * 100 > 0.72 / 10
             else (
-                "fp32-rounding-explains-drift"
+                "init-rounding-explains-drift"
                 if rel[-32:].mean() * 100 > 0.72 / 10
-                else "drift-NOT-explained-by-rounding"
+                else "drift-NOT-explained-by-tested-perturbations"
             )
         ),
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),

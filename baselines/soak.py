@@ -164,9 +164,18 @@ def main() -> None:
     rc = 0
     try:
         train(cfg)
-    except SystemExit as e:  # preemption guard exits 75
+    except SystemExit as e:  # preemption guard exits 75 (CLI path)
         rc = int(e.code or 0)
         print(f"soak: train exited {rc} (preemption path)", flush=True)
+    except Exception as e:
+        # train() raises PreemptedError from the API (the CLI main
+        # converts it to exit 75) — the deadline SIGTERM lands here
+        from mca_tpu.train import PreemptedError
+
+        if not isinstance(e, PreemptedError):
+            raise
+        rc = 75
+        print(f"soak: preempted cleanly ({e})", flush=True)
     finally:
         stop.set()
 
