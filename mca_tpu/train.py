@@ -1296,7 +1296,16 @@ def train(config: Config) -> str:
                     f"opt_state leaf shape {r.shape} not coercible "
                     f"to {t_shape}"
                 )
-            if hasattr(t, "sharding"):  # keep the runtime layout
+            # Re-place ONLY mesh-aware (NamedSharding) leaves — the
+            # FSDP flat layout the pad exists for.  Committing plain
+            # single-device leaves here would pin them to device 0 and
+            # clash with sharded batches at the next jit (restored
+            # leaves stay numpy/uncommitted so jit places them freely,
+            # as the pre-coercion restore did).
+            if isinstance(
+                getattr(t, "sharding", None),
+                jax.sharding.NamedSharding,
+            ):
                 r = jax.device_put(r, t.sharding)
             out.append(r)
         if padded:
